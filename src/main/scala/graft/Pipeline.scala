@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators._
+import graft.plans.Checkpoint
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end record-linkage pipeline (SURVEY.md §7, north_star):
+  *
+  *   repo files → mentions (alias expansion, TF-IDF) → blocking keys
+  *   → candidate pairs (sort-merge self-join) → pairwise scoring (Catalyst
+  *   expressions) → threshold → edges → large-star/small-star connected
+  *   components → decisions (cluster ids + confidence)
+  *
+  * Every stage is DataFrame-in → DataFrame-out; `runCheckpointed` persists
+  * each stage with lineage + metrics for mid-run resume.
+  */
+object Pipeline {
+
+  final case class Result(
+      mentions: DataFrame,
+      blocks: DataFrame,
+      overflow: DataFrame,
+      pairs: DataFrame,
+      scored: DataFrame,
+      components: DataFrame,
+      decisions: DataFrame)
+
+  def run(spark: SparkSession, files: DataFrame,
+          aliasDict: Map[String, String],
+          conf: GraftConf = GraftConf(),
+          weights: PairWeights = PairWeights.default,
+          kbAnchors: Option[DataFrame] = None): Result = {
+    import spark.implicits._
+
+    val mentions = Mentions.withBlockKeys(
+      Mentions.build(spark, files, aliasDict, conf), conf)
+
+    val blocked = Blocking(mentions, conf)
+    val pairs = Blocking.candidatePairs(blocked.blocks)
+    val scored = Scoring.score(pairs, mentions, weights, conf)
+
+    val accepted = scored.where($"score" > conf.linkThreshold)
+    val edges = accepted.select($"leftId".as("src"), $"rightId".as("dst"))
+    val components = ConnectedComponents.run(mentions.select($"id"), edges)
+    val decisions = Decisions.assemble(components, accepted, kbAnchors, conf.linkThreshold)
+
+    Result(mentions, blocked.blocks, blocked.overflow, pairs, scored, components, decisions)
+  }
+
+  /** Same pipeline with per-stage checkpoint tables (blocks, scored pairs,
+    * components — the three the north_rule names) under `checkpointRoot`.
+    */
+  def runCheckpointed(spark: SparkSession, files: DataFrame,
+                      aliasDict: Map[String, String],
+                      checkpointRoot: String,
+                      conf: GraftConf = GraftConf(),
+                      weights: PairWeights = PairWeights.default,
+                      kbAnchors: Option[DataFrame] = None): Result = {
+    import spark.implicits._
+    val cp = new Checkpoint(spark, checkpointRoot)
+    val h = Checkpoint.hash(conf, weights)
+
+    val mentions = cp.getOrCompute("mentions", h, Seq("files")) {
+      Mentions.withBlockKeys(Mentions.build(spark, files, aliasDict, conf), conf)
+    }
+    val blocks = cp.getOrCompute("blocks", h, Seq("mentions")) {
+      Blocking(mentions, conf).blocks
+    }
+    val overflow = cp.getOrCompute("blocks_overflow", h, Seq("mentions")) {
+      Blocking(mentions, conf).overflow
+    }
+    val scored = cp.getOrCompute("scored_pairs", h, Seq("blocks")) {
+      Scoring.score(Blocking.candidatePairs(blocks), mentions, weights, conf)
+    }
+    val components = cp.getOrCompute("components", h, Seq("scored_pairs")) {
+      val edges = scored.where($"score" > conf.linkThreshold)
+        .select($"leftId".as("src"), $"rightId".as("dst"))
+      ConnectedComponents.run(mentions.select($"id"), edges)
+    }
+    val decisions = cp.getOrCompute("decisions", h, Seq("components")) {
+      Decisions.assemble(components,
+        scored.where($"score" > conf.linkThreshold), kbAnchors, conf.linkThreshold)
+    }
+    val pairs = scored.select($"leftId", $"rightId", $"blockKey")
+    Result(mentions, blocks, overflow, pairs, scored, components, decisions)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.model
+
+/** Core schemas of the record-linkage engine.
+  *
+  * The reference (knowitall/Tac2013EntityLinking) keeps everything in
+  * driver-local case classes (KBPQuery.scala:12-77, FormattedOutput.scala:3-8);
+  * here each becomes the row type of a typed Dataset so every stage is a pure
+  * DataFrame-in -> DataFrame-out transform (SURVEY.md §1.1).
+  */
+
+/** Primary input row (BASELINE.json input_hint): one source-code repository
+  * file. `repo` plays the entity-bearing "name" role of the reference's
+  * KBPQuery.name; `content` plays the mention context (KBPQuery.scala:59-62).
+  */
+final case class RepoFile(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String
+)
+
+/** A mention to resolve — reference KBPQuery (KBPQuery.scala:12-77) with its
+  * mutable enrichments flattened to immutable columns.
+  */
+final case class Mention(
+    id: String, // unique mention id (repo/path@commit)
+    name: String, // raw surface name (normalized repo token string)
+    entityString: String, // expanded alias (reference entityString)
+    lang: String,
+    content: String
+)
+
+/** One (mentionId, blockingKey) row emitted by the blocking stage. */
+final case class BlockRow(id: String, key: String)
+
+/** A scored candidate pair — reference MentionPair
+  * (MentionPairFeatures.scala:57-90). leftId < rightId.
+  */
+final case class ScoredPair(
+    leftId: String,
+    rightId: String,
+    blockKey: String,
+    jw: Double, // Jaro-Winkler on entity strings (F4)
+    lev: Double, // bounded-Levenshtein similarity (north_star pairing of F4)
+    cosine: Double, // TF-IDF cosine over content (F2)
+    namesOverlap: Boolean, // F5
+    prefix: Boolean, // F7
+    abbrMatch: Boolean, // F9
+    score: Double // logistic score (G1)
+)
+
+/** A connected-component assignment (node -> component root). */
+final case class Component(id: String, component: String)
+
+/** Final link decision — reference FormattedOutput (FormattedOutput.scala:3-8).
+  * clusterId is a KB id or a NIL id derived from min(mentionId).
+  */
+final case class Decision(mentionId: String, clusterId: String, confidence: Double)
+
+/** Per-stage, per-partition checkpoint metrics row (north_rule: "resumable
+  * from checkpoint with per-partition lineage + metrics").
+  */
+final case class MetricsRow(
+    stage: String,
+    partitionId: Int,
+    rows: Long
+)

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Evaluation — pairwise P/R/F1 and B³ (reference Benchmarker.scala:39-135,
+  * G8/G9 in SURVEY.md §2.6). The BASELINE.json acceptance gate is pairwise
+  * F1 ≥ 0.99 on labeled pairs at shared blocking keys.
+  */
+object Evaluation {
+
+  final case class PairwiseScores(precision: Double, recall: Double, f1: Double)
+  final case class B3Scores(precision: Double, recall: Double, f1: Double)
+
+  /** Pairwise P/R/F1 restricted to candidate pairs (the "at shared blocking
+    * keys" clause): `pairs` = (leftId, rightId), `sys` = (mentionId,
+    * clusterId), `gold` = (id, gold).
+    */
+  def pairwiseF1(pairs: DataFrame, sys: DataFrame, gold: DataFrame): PairwiseScores = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val s = sys.select($"mentionId".as("id"), $"clusterId")
+    val g = gold.select($"id", $"gold")
+    val labeled = pairs
+      .join(s.select($"id".as("leftId"), $"clusterId".as("lSys")), "leftId")
+      .join(s.select($"id".as("rightId"), $"clusterId".as("rSys")), "rightId")
+      .join(g.select($"id".as("leftId"), $"gold".as("lGold")), "leftId")
+      .join(g.select($"id".as("rightId"), $"gold".as("rGold")), "rightId")
+      .select(
+        ($"lSys" === $"rSys").as("sysSame"),
+        ($"lGold" === $"rGold").as("goldSame"))
+    val agg = labeled.agg(
+      sum(when($"sysSame" && $"goldSame", 1L).otherwise(0L)).as("tp"),
+      sum(when($"sysSame" && !$"goldSame", 1L).otherwise(0L)).as("fp"),
+      sum(when(!$"sysSame" && $"goldSame", 1L).otherwise(0L)).as("fn")).head()
+    val tp = agg.getLong(0).toDouble
+    val fp = agg.getLong(1).toDouble
+    val fn = agg.getLong(2).toDouble
+    val p = if (tp + fp == 0) 1.0 else tp / (tp + fp)
+    val r = if (tp + fn == 0) 1.0 else tp / (tp + fn)
+    val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+    PairwiseScores(p, r, f1)
+  }
+
+  /** B³ precision/recall/F1 (Benchmarker.scala:39-77): per mention, the
+    * fraction of its system-cluster (resp. gold-cluster) co-members that are
+    * correct; averaged over mentions. Expressed as two self-joins + hash
+    * aggregations — no per-cluster collect.
+    */
+  def b3(sys: DataFrame, gold: DataFrame): B3Scores = {
+    val spark = sys.sparkSession
+    import spark.implicits._
+    val m = sys.select($"mentionId".as("id"), $"clusterId")
+      .join(gold.select($"id", $"gold"), "id")
+
+    val l = m.select($"id".as("lid"), $"clusterId".as("lc"), $"gold".as("lg"))
+    val r = m.select($"id".as("rid"), $"clusterId".as("rc"), $"gold".as("rg"))
+
+    // precision: pairs sharing a system cluster (incl. self-pairs)
+    val prec = l.join(r, $"lc" === $"rc")
+      .groupBy($"lid")
+      .agg(avg(when($"lg" === $"rg", 1.0).otherwise(0.0)).as("p"))
+      .agg(avg($"p")).head().getDouble(0)
+    // recall: pairs sharing a gold cluster
+    val rec = l.join(r, $"lg" === $"rg")
+      .groupBy($"lid")
+      .agg(avg(when($"lc" === $"rc", 1.0).otherwise(0.0)).as("r"))
+      .agg(avg($"r")).head().getDouble(0)
+    val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
+    B3Scores(prec, rec, f1)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.functions.VecFunctions.minhash_bands
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine configuration — every threshold traceable to the reference. */
+final case class GraftConf(
+    linkThreshold: Double = 0.93, // RunKBPEntityLinkerSystem.scala:29
+    prefixLen: Int = 6, // normalized-token prefix blocking key length
+    shingleK: Int = 4, // k-shingle width over content tokens
+    minHashes: Int = 32, // minhash permutations
+    bands: Int = 16, // LSH bands (rows = 2): s-curve threshold (1/16)^(1/2) = 0.25 Jaccard
+    maxBlockSize: Int = 256, // skew guard: cap pairs per block (metrics, not silent)
+    seed: Long = 42L,
+    levBound: Int = 16 // bounded Levenshtein threshold (north_star)
+)
+
+/** Stage 1 — mention construction + alias expansion (SURVEY.md §7 M1).
+  *
+  * Input: repo-file table (repo, path, commit, lang, content).
+  * Output columns: id, name, entityString, names, abbrs, content tokens and
+  * a unit-L2 TF-IDF sparse vector as parallel sorted arrays (vecH, vecW).
+  *
+  * Reference semantics re-expressed:
+  *  - name normalization = the linker's normalized-token lookup key
+  *    (CrosswikisCandidateFinder stage, RunKBPEntityLinkerSystem.scala:45-49)
+  *  - alias expansion A1/F13 (CorefHelperMethods.scala:194-241,
+  *    AbbreviationData.scala:5-55) → broadcast-join dictionary, `coalesce`
+  *  - surface-name set + initialism (MentionPairFeatures.scala:18-41, F9)
+  *  - term vectors F1/F2 (MentionPairFeatures.scala:206-224) → TF-IDF with
+  *    corpus document frequencies, unit-normalized so pair cosine = dot.
+  */
+object Mentions {
+
+  /** Normalize a raw name: lowercase, strip non-alphanumerics. */
+  def normName(c: Column): Column = regexp_replace(lower(c), "[^a-z0-9]", "")
+
+  /** Initialism of a multi-word string (reference toAbbr,
+    * MentionPairFeatures.scala:26-27): first letter of each word.
+    */
+  def initialism(c: Column): Column =
+    array_join(transform(split(c, "[\\s/_-]+"), w => substring(w, 1, 1)), "")
+
+  /** Build the mention table. `aliasDict` maps alias -> canonical
+    * (the KB/alias dictionary; broadcast per north_rule / J1).
+    */
+  def build(spark: SparkSession, files: DataFrame,
+            aliasDict: Map[String, String], conf: GraftConf = GraftConf()): DataFrame = {
+    import spark.implicits._
+    val dict = aliasDict.toSeq.toDF("alias", "canonical")
+
+    val base = files
+      .withColumn("id", concat($"repo", lit("/"), $"path", lit("@"), $"commit"))
+      // the entity-bearing surface name = repo slug after the owner
+      .withColumn("name", normName(element_at(split($"repo", "/"), -1)))
+
+    val expanded = base
+      .join(broadcast(dict), base("name") === dict("alias"), "left")
+      .withColumn("entityString", coalesce($"canonical", $"name"))
+      .drop("alias", "canonical")
+      .withColumn("names", array_distinct(array($"name", $"entityString")))
+      .withColumn("abbrs", array(initialism($"entityString")))
+
+    val tokens = expanded.withColumn(
+      "tokens", filter(split(lower($"content"), "[^a-z0-9]+"), t => length(t) > 0))
+
+    withTfIdf(tokens, conf)
+  }
+
+  /** Attach unit-normalized TF-IDF sparse vectors (vecH: array<long> sorted,
+    * vecW: array<double> aligned) computed against the corpus document
+    * frequencies. Two hash aggregations + one shuffle join — all map-side
+    * combinable; the DF table is tiny relative to the corpus (vocabulary).
+    */
+  def withTfIdf(mentions: DataFrame, conf: GraftConf): DataFrame = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+
+    val tf = mentions
+      .select($"id", explode($"tokens").as("term"))
+      .groupBy($"id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = mentions.count().toDouble
+
+    val weighted = tf.join(df, "term")
+      .withColumn("w", $"tf" * (log((lit(n) + 1.0) / ($"df" + 1.0)) + 1.0))
+      .withColumn("h", xxhash64($"term"))
+    val vecs = weighted
+      .groupBy($"id")
+      .agg(sort_array(collect_list(struct($"h", $"w"))).as("hw"))
+      .withColumn("norm", sqrt(aggregate($"hw", lit(0.0), (a, x) => a + x("w") * x("w"))))
+      .select(
+        $"id".as("vid"),
+        transform($"hw", x => x("h")).as("vecH"),
+        transform($"hw", x => x("w") / $"norm").as("vecW"))
+
+    mentions.join(vecs, mentions("id") === vecs("vid"), "left").drop("vid")
+  }
+
+  /** Content k-shingle hashes (array<long>) for MinHash blocking. */
+  def shingleHashes(tokens: Column, k: Int): Column =
+    when(size(tokens) < k, array(xxhash64(array_join(tokens, " "))))
+      .otherwise(transform(
+        sequence(lit(0), size(tokens) - k),
+        i => xxhash64(array_join(slice(tokens, i + lit(1), lit(k)), " "))))
+
+  /** Blocking keys per mention: normalized-name prefix + MinHash band keys
+    * (SURVEY.md §7 M2; north_star "salted name/alias blocking keys:
+    * normalized-token prefix + minhash-banded content shingles").
+    */
+  def withBlockKeys(mentions: DataFrame, conf: GraftConf): DataFrame = {
+    import mentions.sparkSession.implicits._
+    val bandKeys = minhash_bands(
+      shingleHashes($"tokens", conf.shingleK), conf.minHashes, conf.bands, conf.seed)
+    mentions.withColumn(
+      "blockKeys",
+      array_union(
+        array(concat(lit("p:"), substring($"entityString", 0, conf.prefixLen))),
+        transform(bandKeys, (h, b) => concat(lit("m:"), b, lit(":"), h))))
+  }
+}

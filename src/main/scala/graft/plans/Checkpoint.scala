@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Stage checkpointing with per-partition lineage + metrics (north_rule:
+  * "resumable from checkpoint with per-partition lineage + metrics rows").
+  *
+  * Each stage writes three sibling tables under `root/<stage>/`:
+  *   data/      — the stage output (parquet; Iceberg at deploy time — the
+  *                sandbox has no Iceberg runtime jar, so the layer is kept
+  *                format-pluggable per SURVEY.md §7)
+  *   _metrics/  — (stage, partitionId, rows) per output partition
+  *   _lineage/  — (stage, configHash, inputs, committed) single row, written
+  *                LAST so a crash mid-write is detected as "not committed"
+  *
+  * `getOrCompute` resumes from a committed checkpoint iff the config hash
+  * matches; otherwise recomputes and overwrites — a kill-and-resume restarts
+  * at the first uncommitted stage (SURVEY.md §5 resumability test).
+  */
+final class Checkpoint(spark: SparkSession, root: String) {
+  import spark.implicits._
+
+  private def dir(stage: String, part: String) = s"$root/$stage/$part"
+
+  def committed(stage: String, configHash: String): Boolean = {
+    val p = dir(stage, "_lineage")
+    if (!Files.exists(Paths.get(p))) false
+    else
+      try {
+        val row = spark.read.parquet(p)
+          .where($"configHash" === configHash && $"committed")
+        !row.isEmpty
+      } catch { case _: Throwable => false }
+  }
+
+  def getOrCompute(stage: String, configHash: String, inputs: Seq[String])(
+      compute: => DataFrame): DataFrame = {
+    if (committed(stage, configHash)) {
+      spark.read.parquet(dir(stage, "data"))
+    } else {
+      val df = compute
+      df.write.mode(SaveMode.Overwrite).parquet(dir(stage, "data"))
+      val data = spark.read.parquet(dir(stage, "data"))
+      data.groupBy(spark_partition_id().as("partitionId"))
+        .agg(count(lit(1)).as("rows"))
+        .withColumn("stage", lit(stage))
+        .write.mode(SaveMode.Overwrite).parquet(dir(stage, "_metrics"))
+      Seq((stage, configHash, inputs.mkString(","), true))
+        .toDF("stage", "configHash", "inputs", "committed")
+        .write.mode(SaveMode.Overwrite).parquet(dir(stage, "_lineage"))
+      data
+    }
+  }
+}
+
+object Checkpoint {
+  /** Deterministic config hash for lineage (content-derived, no wall-clock). */
+  def hash(parts: Any*): String =
+    java.lang.Long.toHexString(parts.map(_.toString).mkString("|").hashCode.toLong & 0xffffffffL)
+}

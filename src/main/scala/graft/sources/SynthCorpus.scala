@@ -1,0 +1,118 @@
+package graft.sources
+
+import graft.model.RepoFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic synthetic repo-file corpus with known gold clusters
+  * (FIXTURES.md §1). Seeded, no wall-clock, no network.
+  *
+  * E entity families × V variants: a family shares a canonical name;
+  * variants carry aliases (`k8s` ≈ Crosswikis aliases), initialisms
+  * (reference MentionPairFeatures.scala:26-27 `toAbbr`), bounded-edit typos,
+  * and content drawn from a family vocabulary + shared noise vocabulary so
+  * TF-IDF cosine within family ≫ across families (FIXTURES.md generator
+  * design). Gold cluster id = family id.
+  */
+object SynthCorpus {
+
+  final case class GoldRow(id: String, gold: String)
+
+  private val canonicalNames = Vector(
+    "kubernetes", "tensorflow", "postgresql", "elasticsearch", "prometheus",
+    "cassandra", "zookeeper", "airflow", "hadoop", "terraform",
+    "ansible", "grafana", "rabbitmq", "memcached", "nginx",
+    "django", "flask", "pytorch", "numpy", "pandas")
+
+  /** alias dictionary (plays wikimap.txt / AbbreviationData.scala:5-55) */
+  val aliasDict: Map[String, String] = Map(
+    "k8s" -> "kubernetes", "tf" -> "tensorflow", "pg" -> "postgresql",
+    "postgres" -> "postgresql", "es" -> "elasticsearch", "prom" -> "prometheus",
+    "zk" -> "zookeeper", "tfm" -> "terraform", "np" -> "numpy", "pd" -> "pandas")
+
+  private val langs = Vector("scala", "py", "go", "java", "rs")
+
+  // family vocabulary: 30 distinctive terms per family, deterministic
+  private def famVocab(f: Int): Vector[String] =
+    (0 until 30).map(i => s"fam${f}term$i").toVector
+  private val noiseVocab: Vector[String] =
+    (0 until 60).map(i => s"common$i").toVector
+
+  /** xorshift-style deterministic PRNG (no java.util.Random to keep the
+    * sequence pinned across JVMs).
+    */
+  private final class Rng(seed0: Long) {
+    private var s: Long = seed0 * 0x9E3779B97F4A7C15L + 1
+    def nextLong(): Long = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s
+    }
+    def nextInt(n: Int): Int = (math.abs(nextLong()) % n).toInt
+    def nextDouble(): Double = (math.abs(nextLong()) % 1000000) / 1000000.0
+  }
+
+  private def typo(name: String, rng: Rng): String = {
+    if (name.length < 5) name
+    else {
+      val i = 1 + rng.nextInt(name.length - 2)
+      rng.nextInt(3) match {
+        case 0 => name.substring(0, i) + name.substring(i + 1) // deletion
+        case 1 => name.substring(0, i) + name.charAt(i) + name.substring(i) // dup
+        case _ => name.substring(0, i) + "x" + name.substring(i + 1) // sub
+      }
+    }
+  }
+
+  /** Generate `families` entity families with `variants` files each. */
+  def rows(families: Int = 20, variants: Int = 8, seed: Long = 42L): Seq[(RepoFile, String)] = {
+    val inverseAlias = aliasDict.groupBy(_._2).map { case (k, v) => k -> v.keys.toVector }
+    (0 until families).flatMap { f =>
+      val canonical = canonicalNames(f % canonicalNames.length) +
+        (if (f >= canonicalNames.length) s"${f / canonicalNames.length}" else "")
+      val vocab = famVocab(f)
+      (0 until variants).map { v =>
+        val rng = new Rng(seed + f * 1000L + v)
+        val surface = v % 4 match {
+          case 0 => canonical
+          case 1 => inverseAlias.get(canonical).map(_.head).getOrElse(canonical)
+          case 2 => typo(canonical, rng)
+          case _ => canonical // different org, same project name
+        }
+        val org = if (v % 4 == 3) s"fork$v" else s"org$f"
+        // variants share a family base document with a few bounded edits —
+        // like real forks/copies, so content k-shingles overlap within a
+        // family (MinHash-band blocking recall) and TF-IDF cosine is high
+        val baseRng = new Rng(seed + f * 7919L)
+        val base = (0 until 120).map { i =>
+          if (baseRng.nextDouble() < 0.7) vocab(baseRng.nextInt(vocab.length))
+          else noiseVocab(baseRng.nextInt(noiseVocab.length))
+        }.toArray
+        val body = base.clone()
+        (0 until 4).foreach { _ => // ~3% token churn per variant
+          body(rng.nextInt(body.length)) = noiseVocab(rng.nextInt(noiseVocab.length))
+        }
+        val content = s"project $canonical module $v\n${body.mkString(" ")}"
+        val commit = f"${rng.nextLong()}%016x${rng.nextLong()}%016x00000000"
+        val file = RepoFile(
+          repo = s"$org/$surface",
+          path = s"src/main/${langs(v % langs.length)}/file$v.${langs(v % langs.length)}",
+          commit = commit.take(40),
+          lang = langs(v % langs.length),
+          content = content)
+        (file, s"FAM$f")
+      }
+    }
+  }
+
+  def corpus(spark: SparkSession, families: Int = 20, variants: Int = 8,
+             seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    rows(families, variants, seed).map(_._1).toDF()
+  }
+
+  def gold(spark: SparkSession, families: Int = 20, variants: Int = 8,
+           seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    rows(families, variants, seed)
+      .map { case (f, g) => GoldRow(s"${f.repo}/${f.path}@${f.commit}", g) }
+      .toDF()
+  }
+}

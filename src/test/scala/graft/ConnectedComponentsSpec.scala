@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.functions._
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(nodes: Seq[String], edges: Seq[(String, String)]): Map[String, String] = {
+    val n = nodes.toDF("id")
+    val e = edges.toDF("src", "dst")
+    ConnectedComponents.run(n, e).as[(String, String)].collect().toMap
+  }
+
+  test("chain collapses to one component rooted at min id") {
+    val got = cc(Seq("a", "b", "c", "d", "e"),
+      Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e"))
+    assert(got.values.toSet == Set("a"))
+    assert(got.keySet == Set("a", "b", "c", "d", "e"))
+  }
+
+  test("isolated nodes are their own components") {
+    val got = cc(Seq("a", "b", "x", "y"), Seq("a" -> "b"))
+    assert(got("x") == "x" && got("y") == "y" && got("a") == "a" && got("b") == "a")
+  }
+
+  test("two components stay separate; duplicate + reversed edges are fine") {
+    val got = cc(Seq("a", "b", "c", "p", "q"),
+      Seq("b" -> "a", "a" -> "b", "b" -> "c", "q" -> "p"))
+    assert(got("c") == "a" && got("q") == "p")
+  }
+
+  test("deterministic across partitionings (label-invariance)") {
+    val nodes = (0 until 200).map(i => f"n$i%03d")
+    val edges = (0 until 199 by 2).map(i => f"n$i%03d" -> f"n${i + 1}%03d") ++
+      (0 until 190 by 10).map(i => f"n$i%03d" -> f"n${i + 5}%03d")
+    val a = cc(nodes, edges)
+    val b = {
+      val n = nodes.toDF("id").repartition(7)
+      val e = edges.toDF("src", "dst").repartition(3)
+      ConnectedComponents.run(n, e).as[(String, String)].collect().toMap
+    }
+    assert(a == b)
+  }
+
+  test("star graph converges in few iterations") {
+    val nodes = (0 until 50).map(i => f"s$i%02d")
+    val edges = (1 until 50).map(i => f"s00" -> f"s$i%02d")
+    val got = cc(nodes, edges)
+    assert(got.values.toSet == Set("s00"))
+  }
+}

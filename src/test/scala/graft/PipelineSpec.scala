@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators._
+import graft.sources.SynthCorpus
+import org.apache.spark.sql.functions._
+
+/** End-to-end golden test (SURVEY.md §5c): deterministic synthetic corpus
+  * with known gold clusters; gates pairwise F1 ≥ 0.99 at shared blocking
+  * keys (BASELINE.json metric) and the per-row sha256(content) invariant.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val files = SynthCorpus.corpus(spark).cache()
+  private lazy val gold = SynthCorpus.gold(spark).cache()
+  private lazy val result =
+    Pipeline.run(spark, files, SynthCorpus.aliasDict)
+
+  test("sha256(content) invariant is stable (golden fixture)") {
+    val hashes = files
+      .select(concat($"repo", lit("/"), $"path").as("k"), sha2($"content", 256).as("h"))
+      .orderBy($"k").as[(String, String)].collect()
+    assert(hashes.length == 160)
+    // corpus-level golden hash: any content drift changes this value
+    val combined = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(hashes.map(_._2).mkString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expectedFile = new java.io.File("src/test/resources/corpus_sha256.golden")
+    if (!expectedFile.exists()) { // first run pins the fixture
+      expectedFile.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(expectedFile.toPath, combined)
+    }
+    val expected = java.nio.file.Files.readString(expectedFile.toPath).trim
+    assert(combined == expected, "synthetic corpus content drifted")
+  }
+
+  test("blocking recall: every gold pair shares >=1 blocking key") {
+    val mentions = Mentions.withBlockKeys(
+      Mentions.build(spark, files, SynthCorpus.aliasDict), GraftConf())
+    val keys = mentions.select($"id", explode($"blockKeys").as("key"))
+    val g = gold.select($"id", $"gold")
+    val goldPairs = g.as("l").join(g.as("r"),
+        $"l.gold" === $"r.gold" && $"l.id" < $"r.id")
+      .select($"l.id".as("leftId"), $"r.id".as("rightId"))
+    val sharing = keys.as("a").join(keys.as("b"),
+        $"a.key" === $"b.key" && $"a.id" < $"b.id")
+      .select($"a.id".as("leftId"), $"b.id".as("rightId")).distinct()
+    val missed = goldPairs.join(sharing, Seq("leftId", "rightId"), "left_anti").count()
+    val total = goldPairs.count()
+    assert(total > 0)
+    assert(missed.toDouble / total <= 0.01, s"blocking dropped $missed/$total gold pairs")
+  }
+
+  test("pairwise F1 >= 0.99 at shared blocking keys (BASELINE gate)") {
+    val scores = Evaluation.pairwiseF1(
+      result.pairs.select($"leftId", $"rightId"), result.decisions, gold)
+    info(s"pairwise P=${scores.precision} R=${scores.recall} F1=${scores.f1}")
+    assert(scores.f1 >= 0.99, s"pairwise F1 ${scores.f1} < 0.99")
+  }
+
+  test("B3 report (mirrors reference Benchmarker)") {
+    val b3 = Evaluation.b3(result.decisions, gold)
+    info(s"B3 P=${b3.precision} R=${b3.recall} F1=${b3.f1}")
+    assert(b3.f1 >= 0.95)
+  }
+
+  test("decisions: every mention decided exactly once, confidence in [0.55,1]") {
+    val d = result.decisions.cache()
+    assert(d.count() == 160)
+    assert(d.select($"mentionId").distinct().count() == 160)
+    val bad = d.where($"confidence" < 0.55 || $"confidence" > 1.0).count()
+    assert(bad == 0)
+  }
+
+  test("cluster ids are deterministic NIL ids derived from min mention id") {
+    val d = result.decisions
+    assert(d.where(!$"clusterId".startsWith("NIL:")).count() == 0)
+    // representative member exists in its own cluster
+    val roots = d.withColumn("root", expr("substring(clusterId, 5)"))
+    val orphan = roots.groupBy($"clusterId", $"root")
+      .agg(max(when($"mentionId" === $"root", 1).otherwise(0)).as("hasRoot"))
+      .where($"hasRoot" === 0).count()
+    assert(orphan == 0)
+  }
+}
