@@ -173,7 +173,83 @@ object SparkEntry {
         .select($"user_id", $"event_id", $"running_value")
         .orderBy($"user_id", $"event_id")
     }),
+    // language-ID heuristic (training-data op; explicit tie-break chain)
+    "q_langid" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", TextAnalysis.langId($"text").as("lang_pred"))
+        .groupBy($"lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy($"lang_pred")
+    }),
+    // exact-dedup assignment incl. sha256 parity (Dedup.exact shape)
+    "q_dedup_assign" -> ((s, d) => {
+      import s.implicits._
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+        .select($"id".cast("long").as("doc_id"), $"keeper".cast("long").as("keeper"),
+          $"copies", $"h")
+        .orderBy($"doc_id")
+    }),
+    // deterministic sampling O6: md5-ordered top-100
+    "q_det_sample" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          md5(concat_ws(" ", $"l_orderkey", $"l_linenumber")).as("mk"))
+        .orderBy($"mk").limit(100)
+    }),
+    // PR-curve window analytics G10 over events (label = click)
+    "q_pr_curve" -> ((s, d) => {
+      import s.implicits._
+      val scored = t(s, d, "events")
+        .select($"event_id".as("leftId"), $"event_id".as("rightId"),
+          $"value".as("score"), ($"event_type" === "click").as("label"))
+      Reports.prCurve(scored)
+        .select($"rank", round($"score", 4).as("score"),
+          round($"precision", 6).as("precision"), round($"recall", 6).as("recall"),
+          round($"precisionAtBest", 6).as("p_best"))
+        .orderBy($"rank")
+    }),
+    // back-off string generator P5: expanded string = type + name (4 words)
+    "q_backoff" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "part")
+        .select($"p_partkey",
+          split($"p_name", "\\s+").getItem(1).as("name"),
+          concat($"p_type", lit(" "), $"p_name", lit(" "), $"p_brand").as("es"))
+        .select($"p_partkey",
+          explode(Aliases.backoffStrings($"name", $"es")).as("backoff"))
+        .orderBy($"p_partkey", $"backoff")
+    }),
     // ---- non-SQL-expressible ops (rows-only driver check)
+    // simhash fingerprints + near-dup groups over documents
+    "q_simhash_dedup" -> ((s, d) => {
+      import s.implicits._
+      Dedup.simhash(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .groupBy($"dupGroup").agg(count(lit(1)).as("members"))
+    }),
+    // minhash-LSH near-dup groups (dedup op #2)
+    "q_minhash_dedup" -> ((s, d) => {
+      import s.implicits._
+      Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text")
+        .groupBy($"dupGroup").agg(count(lit(1)).as("members"))
+    }),
+    // LSH ANN top-k (scale path of q_embed_topk)
+    "q_lsh_topk" -> ((s, d) => {
+      import s.implicits._
+      val e = t(s, d, "embeddings")
+      SimilaritySearch.lshTopK(e, e.where($"vec_id" < 3), "vec_id", "embedding", 5)
+    }),
+    // quality + fingerprint text analysis bundle
+    "q_text_analysis" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.analyze(t(s, d, "documents"), "text")
+        .select($"doc_id", $"lang_pred", $"quality", $"n_tokens_ws",
+          $"n_tokens_bpe", size($"fp").as("fp_len"))
+    }),
+    // multimodal plumbing: synthetic media -> batched feature extraction
+    "q_multimodal_features" -> ((s, _) => {
+      Multimodal.extractFeatures(Multimodal.synth(s, 256)).toDF()
+    }),
     // minhash-LSH block keys over documents (B1 reframing)
     "q_minhash_blocks" -> ((s, d) => {
       import s.implicits._
@@ -284,6 +360,72 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER
         |    (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS INT) AS rn
         |  FROM pairs) WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "q_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> t IN ('the','and','of','to','is','in','that','with'))) AS en,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> t IN ('el','la','de','que','y','los','en','una'))) AS es,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> t IN ('der','die','das','und','ist','nicht','mit','ein'))) AS de,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> t IN ('le','la','les','de','et','est','une','que'))) AS fr
+        |  FROM documents)
+        |SELECT lang_pred, count(*) AS n FROM (
+        |  SELECT CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+        |    WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+        |    WHEN es >= de AND es >= fr THEN 'es'
+        |    WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred FROM s)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_assign" ->
+      """WITH g AS (SELECT doc_id, sha256(text) AS h FROM documents),
+        |k AS (SELECT h, min(doc_id) AS keeper, count(*) AS copies FROM g GROUP BY 1)
+        |SELECT g.doc_id, k.keeper, k.copies, g.h
+        |FROM g JOIN k ON g.h = k.h ORDER BY g.doc_id""".stripMargin,
+    "q_det_sample" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  md5(concat_ws(' ', l_orderkey, l_linenumber)) AS mk
+        |FROM lineitem ORDER BY mk LIMIT 100""".stripMargin,
+    "q_pr_curve" ->
+      """WITH scored AS (
+        |  SELECT event_id AS l, value AS score, event_type = 'click' AS label
+        |  FROM events),
+        |running AS (
+        |  SELECT l, score,
+        |    count(*) OVER w AS rank,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END) OVER w AS tp,
+        |    (SELECT count(*) FROM scored WHERE label) AS npos
+        |  FROM scored
+        |  WINDOW w AS (ORDER BY score DESC, l
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |curve AS (
+        |  SELECT *, CAST(tp AS DOUBLE)/rank AS prec,
+        |    max(CAST(tp AS DOUBLE)/rank) OVER (ORDER BY score DESC, l
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p_best_raw
+        |  FROM running)
+        |SELECT rank, round(score, 4) AS score, round(prec, 6) AS precision,
+        |  round(CAST(tp AS DOUBLE)/greatest(npos, 1), 6) AS recall,
+        |  round(p_best_raw, 6) AS p_best
+        |FROM curve ORDER BY rank""".stripMargin,
+    "q_backoff" ->
+      """WITH w AS (
+        |  SELECT p_partkey,
+        |    split_part(p_name, ' ', 2) AS name,
+        |    p_type || ' ' || p_name || ' ' || p_brand AS es,
+        |    string_split_regex(p_type || ' ' || p_name || ' ' || p_brand, '\s+') AS ws
+        |  FROM part),
+        |spans AS (
+        |  SELECT DISTINCT p_partkey, name, es,
+        |    array_to_string(ws[st.s : st.s + l.l - 1], ' ') AS backoff
+        |  FROM w,
+        |    LATERAL (SELECT unnest(generate_series(1, len(ws))) AS l) l,
+        |    LATERAL (SELECT unnest(generate_series(1, len(ws) - l.l + 1)) AS s) st)
+        |SELECT p_partkey, backoff FROM spans
+        |WHERE len(string_split_regex(backoff, '\s+'))
+        |    >= len(string_split_regex(name, '\s+')) + 1
+        |  AND contains(lower(backoff), lower(name)) AND backoff != es
+        |ORDER BY p_partkey, backoff""".stripMargin,
     "q_running_window" ->
       """SELECT user_id, event_id,
         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

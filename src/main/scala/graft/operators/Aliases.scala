@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Alias / entity-string expansion operators (SURVEY.md §2.5) — the
+  * reference's rule engine (CorefHelperMethods.scala:194-535) reduced to
+  * deterministic string rules over candidate arrays. All higher-order
+  * array functions; no UDFs.
+  */
+object Aliases {
+
+  /** P5 — back-off strings (GeneralHelperMethods.scala:13-29): all
+    * contiguous sub-spans of the expanded string, at least one word longer
+    * than the original name, that contain the original name. Generator
+    * (flatMap) shape: returns array<string> to `explode`.
+    */
+  def backoffStrings(name: Column, entityString: Column): Column = {
+    val words = split(entityString, "\\s+")
+    val n = size(words)
+    val minLen = size(split(name, "\\s+")) + 1
+    // all (start, len) spans with len >= minLen
+    val spans = flatten(transform(sequence(lit(1), n),
+      len => transform(sequence(lit(0), n - len),
+        start => array_join(slice(words, start + 1, len), " "))))
+    filter(array_distinct(spans), s =>
+      size(split(s, "\\s+")) >= minLen &&
+        contains(lower(s), lower(name)) && s =!= entityString)
+  }
+
+  /** A2 (acronym part) — does `candidate`'s capitalized-word initialism
+    * spell `acronym`? (CorefHelperMethods.scala:262-361 acronym rule.)
+    */
+  def initialsSpell(candidate: Column, acronym: Column): Column = {
+    val caps = filter(split(candidate, "\\s+"), w => w.rlike("^[A-Z]"))
+    val initials = upper(array_join(transform(caps, w => substring(w, 1, 1)), ""))
+    initials === upper(acronym)
+  }
+
+  /** A2/A4 — pick the best expansion from a candidates array:
+    * 1. a candidate whose initials spell the (all-caps, short) name;
+    * 2. a candidate that starts or ends with the name and has < 4 words
+    *    (person-style extension, CorefHelperMethods.scala:510-535);
+    * 3. fall back to the name itself.
+    * Shortest winner per rule (reference picks shortest, `:158`).
+    */
+  def bestExpansion(name: Column, candidates: Column): Column = {
+    val isAcr = name.rlike("^[A-Z0-9]{2,5}$")
+    val acrMatches = filter(candidates, c => initialsSpell(c, name))
+    val extMatches = filter(candidates, c =>
+      (startswith(lower(c), lower(name)) || endswith(lower(c), lower(name))) &&
+        size(split(c, "\\s+")) < 4 && length(c) > length(name))
+    val shortest = (arr: Column) => array_min(transform(arr,
+      c => struct(length(c).as("l"), c.as("c")))).getField("c")
+    when(isAcr && size(acrMatches) > 0, shortest(acrMatches))
+      .when(size(extMatches) > 0, shortest(extMatches))
+      .otherwise(name)
+  }
+
+  /** C1/B2 — exact-alias NIL clustering (RunKBPEntityLinkerSystem
+    * .scala:160-192): group NIL decisions by expanded alias, rewrite every
+    * member to the group's min cluster id, confidence 0.6 for merged rows.
+    * Input: decisions (mentionId, clusterId, confidence) + aliases
+    * (mentionId, alias). Degenerate radius-0 connected components.
+    */
+  def clusterNilsByAlias(decisions: DataFrame, aliases: DataFrame): DataFrame = {
+    import decisions.sparkSession.implicits._
+    val nils = decisions.where($"clusterId".startsWith("NIL"))
+      .join(aliases, "mentionId")
+    val heads = nils.groupBy($"alias")
+      .agg(min($"clusterId").as("headId"), count(lit(1)).as("groupSize"))
+    val merged = nils.join(heads, "alias")
+      .select($"mentionId", $"headId".as("clusterId"),
+        when($"groupSize" > 1, lit(0.6)).otherwise($"confidence").as("confidence"))
+    decisions.where(!$"clusterId".startsWith("NIL"))
+      .unionByName(merged)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Dedup, GraftConf, SimilaritySearch}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (String, String)*) = rows.toSeq.toDF("id", "text")
+
+  test("exact dedup groups identical content under min-id keeper") {
+    val df = docs(
+      "d1" -> "alpha beta gamma", "d2" -> "alpha beta gamma",
+      "d3" -> "different text here", "d4" -> "alpha beta gamma")
+    val got = Dedup.exact(df, "id", "text")
+      .select($"id", $"keeper", $"copies").as[(String, String, Long)]
+      .collect().map { case (a, b, c) => (a, (b, c)) }.toMap
+    assert(got("d1") == ("d1", 3L) && got("d2") == ("d1", 3L) && got("d4") == ("d1", 3L))
+    assert(got("d3") == ("d3", 1L))
+  }
+
+  test("minhash LSH near-dup clusters small-edit variants, separates distinct docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val variant = base.replace("tok7", "zzz")
+    val other = (100 to 160).map(i => s"other$i").mkString(" ")
+    val df = docs("a" -> base, "b" -> variant, "c" -> other, "d" -> other)
+    val got = Dedup.minhashLsh(df, "id", "text", GraftConf(), threshold = 0.5)
+      .as[(String, String)].collect().toMap
+    assert(got("a") == got("b"), "near-dup variants should share a group")
+    assert(got("c") == got("d"), "exact dups should share a group")
+    assert(got("a") != got("c"), "distinct docs should not merge")
+  }
+
+  test("simhash near-dup: identical docs hamming 0, small edits small hamming") {
+    val base = (1 to 80).map(i => s"word$i").mkString(" ")
+    val edited = base.replace("word13", "changed")
+    val other = (1 to 80).map(i => s"unrelated$i").mkString(" ")
+    val df = docs("a" -> base, "b" -> edited, "c" -> other)
+    val got = Dedup.simhash(df, "id", "text", maxHamming = 6)
+      .as[(String, String)].collect().toMap
+    assert(got("a") == got("b"))
+    assert(got("a") != got("c"))
+  }
+
+  test("ngram jaccard pairs within block, threshold respected") {
+    val df = Seq(
+      ("a", "b1", "the quick brown fox jumps over the lazy dog"),
+      ("b", "b1", "the quick brown fox jumps over the lazy cat"),
+      ("c", "b1", "completely different words entirely here now"),
+      ("d", "b2", "the quick brown fox jumps over the lazy dog")
+    ).toDF("id", "block", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "id", "text", "block", n = 2, threshold = 0.5)
+      .select($"leftId", $"rightId").as[(String, String)].collect().toSet
+    assert(pairs == Set(("a", "b"))) // c dissimilar; d in another block
+  }
+
+  test("embedding-cosine near-dup via hyperplane LSH") {
+    val v1 = (0 until 16).map(i => math.sin(i + 1)).toArray
+    val v1b = v1.map(_ * 1.001) // same direction => cosine ~1
+    val v2 = (0 until 16).map(i => math.cos(3 * i + 2)).toArray
+    val df = Seq(("a", v1.toSeq), ("b", v1b.toSeq), ("c", v2.toSeq)).toDF("id", "vec")
+    val got = Dedup.embeddingCosine(df, "id", "vec", threshold = 0.99)
+      .as[(String, String)].collect().toMap
+    assert(got("a") == got("b"))
+    assert(got("a") != got("c"))
+  }
+
+  test("ANN: lsh top-k recall vs brute-force baseline on clustered vectors") {
+    val rnd = new scala.util.Random(7)
+    def vec(center: Array[Double]) = center.map(_ + rnd.nextGaussian() * 0.05)
+    val centers = (0 until 4).map(c => Array.tabulate(16)(i => math.sin(c * 17 + i)))
+    val rows = (0 until 200).map { i =>
+      (s"v$i%03d".format(i), vec(centers(i % 4)).toSeq)
+    }
+    val corpus = rows.toDF("id", "vec")
+    val probes = rows.take(4).toDF("id", "vec")
+    val exact = SimilaritySearch.bruteForceTopK(corpus, probes, "id", "vec", 10)
+      .select($"qid", $"id").as[(String, String)].collect().toSet
+    val approx = SimilaritySearch.lshTopK(corpus, probes, "id", "vec", 10,
+      planes = 8, probeBits = 4).select($"qid", $"id").as[(String, String)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(s"ANN recall@10 = $recall")
+    assert(recall >= 0.8, s"LSH recall $recall too low")
+  }
+}

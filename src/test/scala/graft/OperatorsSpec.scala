@@ -1,0 +1,149 @@
+package graft
+
+import graft.operators.{Aliases, Multimodal, Reports, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("backoff strings: all containing sub-spans at least one word longer") {
+    val df = Seq(("Smith", "the John Smith Band")).toDF("name", "es")
+    val got = df.select(explode(Aliases.backoffStrings($"name", $"es")).as("b"))
+      .as[String].collect().toSet
+    // reference semantics (GeneralHelperMethods.scala:13-29): contiguous,
+    // contains name, >= len(name)+1 words, not the full string
+    assert(got == Set("John Smith", "Smith Band", "the John Smith",
+      "John Smith Band"))
+  }
+
+  test("acronym expansion: initials spell the name; shortest wins") {
+    val df = Seq(
+      ("UW", Seq("University of Washington", "Underwater World Inc", "nothing")),
+      ("IBM", Seq("International Business Machines", "irrelevant")),
+      ("plain", Seq("plain old extended", "Xplainer")),
+      ("none", Seq[String]())
+    ).toDF("name", "cands")
+    val got = df.select($"name", Aliases.bestExpansion($"name", $"cands").as("e"))
+      .as[(String, String)].collect().toMap
+    assert(got("UW") == "Underwater World Inc" || got("UW") == "University of Washington")
+    assert(got("IBM") == "International Business Machines")
+    // prefix extension, < 4 words (A4 rule); "Xplainer" neither starts nor ends with "plain"
+    assert(got("plain") == "plain old extended")
+    assert(got("none") == "none")
+  }
+
+  test("clusterNilsByAlias merges NIL decisions sharing an alias at conf 0.6") {
+    val decisions = Seq(
+      ("m1", "NIL:a", 0.9), ("m2", "NIL:b", 0.9), ("m3", "NIL:c", 0.9),
+      ("m4", "KB001", 0.95)).toDF("mentionId", "clusterId", "confidence")
+    val aliases = Seq(("m1", "acme"), ("m2", "acme"), ("m3", "zeta"), ("m4", "acme"))
+      .toDF("mentionId", "alias")
+    val got = Aliases.clusterNilsByAlias(decisions, aliases)
+      .as[(String, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("m1") == ("NIL:a", 0.6) && got("m2") == ("NIL:a", 0.6))
+    assert(got("m3") == ("NIL:c", 0.9)) // singleton alias keeps its id + conf
+    assert(got("m4") == ("KB001", 0.95)) // KB rows untouched
+  }
+
+  test("langId picks the language with most marker hits") {
+    val df = Seq(
+      ("the cat is in the house and the dog"), // en
+      ("el gato y la casa de los perros"), // es
+      ("der hund und die katze ist nicht da"), // de
+      ("xyzzy qwerty asdf")) // none
+      .toDF("text").withColumn("lang", TextAnalysis.langId($"text"))
+    val got = df.as[(String, String)].collect().map(_._2)
+    assert(got(0) == "en" && got(1) == "es" && got(2) == "de" && got(3) == "und")
+  }
+
+  test("token counts: whitespace and BPE-ish regex") {
+    val df = Seq("hello world, it's 42 degrees!").toDF("text")
+      .select(TextAnalysis.tokenCountWs($"text").as("ws"),
+        TextAnalysis.tokenCountBpe($"text").as("bpe"))
+    val (ws, bpe) = df.as[(Long, Long)].head()
+    assert(ws == 5)
+    // hello|world|,|it|'|s|4|2|degrees|! = 10
+    assert(bpe == 10)
+  }
+
+  test("fingerprint: stable, bounded, edit-local") {
+    val base = (1 to 100).map(i => s"token$i").mkString(" ")
+    val edited = base.replace("token50", "zzz")
+    val df = Seq(("a", base), ("b", base), ("c", edited)).toDF("id", "text")
+      .select($"id", TextAnalysis.fingerprint($"text").as("fp"))
+    val got = df.as[(String, Seq[Long])].collect().toMap
+    assert(got("a") == got("b"))
+    val shared = got("a").toSet.intersect(got("c").toSet).size
+    assert(shared >= got("a").size / 2, "one edit should keep most fingerprint strides")
+    assert(got("a") != got("c"))
+  }
+
+  test("quality score in [0,1], degenerate text scores lower") {
+    val df = Seq(
+      ("good", "A well formed paragraph with reasonable words and variety here."),
+      ("bad", "x x x x x x x x x x x x x x x x x x x x"))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.qualityScore($"text").as("q"))
+    val got = df.as[(String, Double)].collect().toMap
+    assert(got.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(got("good") > got("bad"))
+  }
+
+  test("multimodal: batched feature extraction preserves ids, fixed dim") {
+    val media = Multimodal.synth(spark, 32)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 32)
+    assert(feats.forall(_.features.length == Multimodal.FakeCodec.FeatureDim))
+    assert(feats.map(_.id).toSet == media.collect().map(_.id).toSet)
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media).collect()
+      .map(f => f.id -> f.features.toSeq).toMap
+    feats.foreach(f => assert(again(f.id) == f.features.toSeq))
+  }
+
+  test("multimodal: frame-sample plan from metadata only") {
+    val media = Multimodal.synth(spark, 9).toDF()
+    val plan = Multimodal.frameSamplePlan(media, everyMs = 500)
+    import org.apache.spark.sql.Row
+    val byId = plan.collect().groupBy(_.getString(0))
+    assert(byId.nonEmpty)
+    byId.values.foreach { frames =>
+      val times = frames.map(_.getLong(1)).sorted
+      assert(times.head == 0L)
+      assert(times.sliding(2).forall(p => p.length < 2 || p(1) - p(0) == 500))
+    }
+  }
+
+  test("category counts when-chain mirrors Benchmarker") {
+    val sys = Seq(("m1", "E1"), ("m2", "E2"), ("m3", "NIL:x"), ("m4", "E9"), ("m5", "NIL:y"))
+      .toDF("mentionId", "clusterId")
+    val gold = Seq(("m1", "E1"), ("m2", "E3"), ("m3", "E2"), ("m4", "NIL7"), ("m5", "NIL9"))
+      .toDF("id", "gold")
+    val got = Reports.categoryCounts(sys, gold).as[(String, Long)].collect().toMap
+    assert(got == Map("CORRECT" -> 1L, "WRONG KB ID" -> 1L, "EXPECTED KB" -> 1L,
+      "EXPECTED NIL" -> 1L, "NIL OK" -> 1L))
+  }
+
+  test("pr curve: running precision and suffix-max monotonicity") {
+    val scored = Seq(
+      ("a", "b", 0.99, true), ("c", "d", 0.95, true), ("e", "f", 0.90, false),
+      ("g", "h", 0.85, true), ("i", "j", 0.80, false))
+      .toDF("leftId", "rightId", "score", "label")
+    val got = Reports.prCurve(scored).orderBy($"rank")
+      .select($"precision", $"recall", $"precisionAtBest")
+      .as[(Double, Double, Double)].collect()
+    assert(got(0)._1 == 1.0 && got(1)._1 == 1.0)
+    assert(math.abs(got(4)._2 - 1.0) < 1e-12) // all positives found at the end
+    // precisionAtBest is non-increasing down the ranking
+    assert(got.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("deterministic sample is stable across partitionings") {
+    val df = (0 until 500).map(i => (s"id$i", i)).toDF("k", "v")
+    val a = Reports.deterministicSample(df, Seq("k"), 50).as[(String, Int)].collect().toSeq
+    val b = Reports.deterministicSample(df.repartition(13), Seq("k"), 50)
+      .as[(String, Int)].collect().toSeq
+    assert(a == b)
+    assert(a.length == 50)
+  }
+}
