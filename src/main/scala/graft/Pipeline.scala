@@ -33,16 +33,24 @@ object Pipeline {
           kbAnchors: Option[DataFrame] = None): Result = {
     import spark.implicits._
 
-    val mentions = Mentions.withBlockKeys(
-      Mentions.build(spark, files, aliasDict, conf), conf)
+    // mentions feed four consumers (blocking, both scoring joins, CC nodes)
+    // and scored feeds two (edges, confidence) — persist both so the
+    // expensive TF-IDF/scoring subplans run once per action set, mirroring
+    // what runCheckpointed gets from its stage tables
+    val mentions = Mentions.prepare(spark, files, aliasDict, conf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val blocked = Blocking(mentions, conf)
     val pairs = Blocking.candidatePairs(blocked.blocks)
     val scored = Scoring.score(pairs, mentions, weights, conf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val accepted = scored.where($"score" > conf.linkThreshold)
     val edges = accepted.select($"leftId".as("src"), $"rightId".as("dst"))
+    // CC output feeds both the result and decisions — persist, or the whole
+    // iterative closure reruns per downstream action
     val components = ConnectedComponents.run(mentions.select($"id"), edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val decisions = Decisions.assemble(components, accepted, kbAnchors, conf.linkThreshold)
 
     Result(mentions, blocked.blocks, blocked.overflow, pairs, scored, components, decisions)
@@ -62,7 +70,7 @@ object Pipeline {
     val h = Checkpoint.hash(conf, weights)
 
     val mentions = cp.getOrCompute("mentions", h, Seq("files")) {
-      Mentions.withBlockKeys(Mentions.build(spark, files, aliasDict, conf), conf)
+      Mentions.prepare(spark, files, aliasDict, conf)
     }
     val blocks = cp.getOrCompute("blocks", h, Seq("mentions")) {
       Blocking(mentions, conf).blocks

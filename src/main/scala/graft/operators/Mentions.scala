@@ -62,30 +62,50 @@ object Mentions {
       .withColumn("names", array_distinct(array($"name", $"entityString")))
       .withColumn("abbrs", array(initialism($"entityString")))
 
-    val tokens = expanded.withColumn(
+    expanded.withColumn(
       "tokens", filter(split(lower($"content"), "[^a-z0-9]+"), t => length(t) > 0))
-
-    withTfIdf(tokens, conf)
   }
+
+  /** Full mention prep: build → blocking keys → TF-IDF, then PRUNE the wide
+    * columns (content, tokens, repo/path/commit) so everything downstream —
+    * the vec join-back, blocking explode, the two scoring joins, CC — only
+    * ever shuffles narrow rows. Column pruning here is worth more than any
+    * operator tweak at 100 TB.
+    */
+  def prepare(spark: SparkSession, files: DataFrame,
+              aliasDict: Map[String, String], conf: GraftConf): DataFrame =
+    withTfIdf(withBlockKeys(build(spark, files, aliasDict, conf), conf), conf)
 
   /** Attach unit-normalized TF-IDF sparse vectors (vecH: array<long> sorted,
     * vecW: array<double> aligned) computed against the corpus document
-    * frequencies. Two hash aggregations + one shuffle join — all map-side
-    * combinable; the DF table is tiny relative to the corpus (vocabulary).
+    * frequencies.
+    *
+    * Shuffle economics at scale: term frequencies are computed IN-ROW from
+    * the tokens array (no (id, term) shuffle of one row per token); only the
+    * per-document DISTINCT terms are exploded — for the document-frequency
+    * aggregation (map-side combinable, output = vocabulary size) and the
+    * idf join. The final re-aggregation keys on id with narrow rows
+    * (id, h, tf·idf). Content/token columns never enter a shuffle here.
     */
   def withTfIdf(mentions: DataFrame, conf: GraftConf): DataFrame = {
     val spark = mentions.sparkSession
     import spark.implicits._
 
+    // (id, term, tf) with tf computed in-row: O(distinct × len) per row,
+    // zero shuffle. Rows carried into the join are narrow.
     val tf = mentions
-      .select($"id", explode($"tokens").as("term"))
-      .groupBy($"id", $"term").agg(count(lit(1)).as("tf"))
+      .select($"id",
+        explode(transform(array_distinct($"tokens"),
+          t => struct(t.as("term"),
+            size(filter($"tokens", x => x === t)).as("tf")))).as("e"))
+      .select($"id", $"e.term".as("term"), $"e.tf".as("tf"))
+
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = mentions.count().toDouble
 
     val weighted = tf.join(df, "term")
-      .withColumn("w", $"tf" * (log((lit(n) + 1.0) / ($"df" + 1.0)) + 1.0))
-      .withColumn("h", xxhash64($"term"))
+      .select($"id", xxhash64($"term").as("h"),
+        ($"tf" * (log((lit(n) + 1.0) / ($"df" + 1.0)) + 1.0)).as("w"))
     val vecs = weighted
       .groupBy($"id")
       .agg(sort_array(collect_list(struct($"h", $"w"))).as("hw"))
@@ -95,7 +115,10 @@ object Mentions {
         transform($"hw", x => x("h")).as("vecH"),
         transform($"hw", x => x("w") / $"norm").as("vecW"))
 
-    mentions.join(vecs, mentions("id") === vecs("vid"), "left").drop("vid")
+    // join-back on NARROW rows only — the wide text columns are pruned here
+    // and never shuffled
+    mentions.drop("content", "tokens", "repo", "path", "commit", "lang")
+      .join(vecs, col("id") === col("vid"), "left").drop("vid")
   }
 
   /** Content k-shingle hashes (array<long>) for MinHash blocking. */

@@ -61,51 +61,70 @@ object SynthCorpus {
     }
   }
 
-  /** Generate `families` entity families with `variants` files each. */
-  def rows(families: Int = 20, variants: Int = 8, seed: Long = 42L): Seq[(RepoFile, String)] = {
-    val inverseAlias = aliasDict.groupBy(_._2).map { case (k, v) => k -> v.keys.toVector }
-    (0 until families).flatMap { f =>
-      val canonical = canonicalNames(f % canonicalNames.length) +
-        (if (f >= canonicalNames.length) s"${f / canonicalNames.length}" else "")
-      val vocab = famVocab(f)
-      (0 until variants).map { v =>
-        val rng = new Rng(seed + f * 1000L + v)
-        val surface = v % 4 match {
-          case 0 => canonical
-          case 1 => inverseAlias.get(canonical).map(_.head).getOrElse(canonical)
-          case 2 => typo(canonical, rng)
-          case _ => canonical // different org, same project name
-        }
-        val org = if (v % 4 == 3) s"fork$v" else s"org$f"
-        // variants share a family base document with a few bounded edits —
-        // like real forks/copies, so content k-shingles overlap within a
-        // family (MinHash-band blocking recall) and TF-IDF cosine is high
-        val baseRng = new Rng(seed + f * 7919L)
-        val base = (0 until 120).map { i =>
-          if (baseRng.nextDouble() < 0.7) vocab(baseRng.nextInt(vocab.length))
-          else noiseVocab(baseRng.nextInt(noiseVocab.length))
-        }.toArray
-        val body = base.clone()
-        (0 until 4).foreach { _ => // ~3% token churn per variant
-          body(rng.nextInt(body.length)) = noiseVocab(rng.nextInt(noiseVocab.length))
-        }
-        val content = s"project $canonical module $v\n${body.mkString(" ")}"
-        val commit = f"${rng.nextLong()}%016x${rng.nextLong()}%016x00000000"
-        val file = RepoFile(
-          repo = s"$org/$surface",
-          path = s"src/main/${langs(v % langs.length)}/file$v.${langs(v % langs.length)}",
-          commit = commit.take(40),
-          lang = langs(v % langs.length),
-          content = content)
-        (file, s"FAM$f")
-      }
+  private lazy val inverseAlias: Map[String, Vector[String]] =
+    aliasDict.groupBy(_._2).map { case (k, v) => k -> v.keys.toVector }
+
+  /** Generate one (file, goldClusterId) row — pure function of (f, v, seed)
+    * so it can run inside executor tasks.
+    */
+  def row(f: Int, v: Int, variants: Int, seed: Long): (RepoFile, String) = {
+    val canonical = canonicalNames(f % canonicalNames.length) +
+      (if (f >= canonicalNames.length) s"${f / canonicalNames.length}" else "")
+    val vocab = famVocab(f)
+    val rng = new Rng(seed + f * 1000L + v)
+    val surface = v % 4 match {
+      case 0 => canonical
+      case 1 => inverseAlias.get(canonical).map(_.head).getOrElse(canonical)
+      case 2 => typo(canonical, rng)
+      case _ => canonical // different org, same project name
     }
+    val org = if (v % 4 == 3) s"fork$v" else s"org$f"
+    // variants share a family base document with a few bounded edits —
+    // like real forks/copies, so content k-shingles overlap within a
+    // family (MinHash-band blocking recall) and TF-IDF cosine is high
+    val baseRng = new Rng(seed + f * 7919L)
+    val base = (0 until 120).map { i =>
+      if (baseRng.nextDouble() < 0.7) vocab(baseRng.nextInt(vocab.length))
+      else noiseVocab(baseRng.nextInt(noiseVocab.length))
+    }.toArray
+    val body = base.clone()
+    (0 until 4).foreach { _ => // ~3% token churn per variant
+      body(rng.nextInt(body.length)) = noiseVocab(rng.nextInt(noiseVocab.length))
+    }
+    val content = s"project $canonical module $v\n${body.mkString(" ")}"
+    val commit = f"${rng.nextLong()}%016x${rng.nextLong()}%016x00000000"
+    val file = RepoFile(
+      repo = s"$org/$surface",
+      path = s"src/main/${langs(v % langs.length)}/file$v.${langs(v % langs.length)}",
+      commit = commit.take(40),
+      lang = langs(v % langs.length),
+      content = content)
+    (file, s"FAM$f")
   }
+
+  /** Generate `families` entity families with `variants` files each
+    * (driver-side Seq; use `corpus` for the distributed frame).
+    */
+  def rows(families: Int = 20, variants: Int = 8, seed: Long = 42L): Seq[(RepoFile, String)] =
+    for (f <- 0 until families; v <- 0 until variants) yield row(f, v, variants, seed)
 
   def corpus(spark: SparkSession, families: Int = 20, variants: Int = 8,
              seed: Long = 42L): DataFrame = {
     import spark.implicits._
-    rows(families, variants, seed).map(_._1).toDF()
+    // generate distributed: one row per (family, variant) from spark.range,
+    // built inside tasks — a driver-local Seq would make every downstream
+    // narrow stage (tokenize/shingle/minhash) run on one LocalTableScan slice
+    val n = families.toLong * variants
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { i =>
+          val f = (i / variants).toInt
+          val v = (i % variants).toInt
+          row(f, v, variants, seed)._1
+        }
+      }
+      .toDF()
   }
 
   def gold(spark: SparkSession, families: Int = 20, variants: Int = 8,

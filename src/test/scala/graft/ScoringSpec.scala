@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators._
+import graft.sources.SynthCorpus
+import org.apache.spark.sql.functions._
+
+class ScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("logistic trainer separates synthetic labeled pairs; refit weights hit the F1 gate") {
+    // labeled pairs from the synthetic corpus (reference caps at 3000,
+    // MentionPairTrainingData.scala:45-53)
+    val files = SynthCorpus.corpus(spark, families = 10, variants = 6)
+    val gold = SynthCorpus.gold(spark, families = 10, variants = 6)
+    val conf = GraftConf()
+    val mentions = Mentions.prepare(spark, files, SynthCorpus.aliasDict, conf).cache()
+    val pairs = Blocking.candidatePairs(Blocking(mentions, conf).blocks)
+    val feats = Scoring.score(pairs, mentions, PairWeights.default, conf)
+      .join(gold.select($"id".as("leftId"), $"gold".as("lg")), "leftId")
+      .join(gold.select($"id".as("rightId"), $"gold".as("rg")), "rightId")
+      .withColumn("label", $"lg" === $"rg")
+      .limit(3000).collect()
+
+    val examples = feats.map { r =>
+      LogisticTrainer.Example(
+        Array(r.getAs[Double]("jw"), r.getAs[Double]("lev"), r.getAs[Double]("cosine"),
+          if (r.getAs[Boolean]("namesOverlap")) 1.0 else 0.0,
+          if (r.getAs[Boolean]("prefix")) 1.0 else 0.0,
+          if (r.getAs[Boolean]("abbrMatch")) 1.0 else 0.0),
+        if (r.getAs[Boolean]("label")) 1.0 else 0.0)
+    }.toSeq
+    val w = LogisticTrainer.fit(examples)
+    // trained model must separate at the reference threshold 0.93
+    def p(e: LogisticTrainer.Example): Double = {
+      val z = w(0) + e.features.zipWithIndex.map { case (f, i) => f * w(i + 1) }.sum
+      1.0 / (1.0 + math.exp(-z))
+    }
+    val (pos, neg) = examples.partition(_.label == 1.0)
+    val tp = pos.count(p(_) > 0.93).toDouble
+    val fp = neg.count(p(_) > 0.93).toDouble
+    val prec = if (tp + fp == 0) 1.0 else tp / (tp + fp)
+    val rec = tp / pos.size
+    val f1 = 2 * prec * rec / (prec + rec)
+    info(s"refit LR: P=$prec R=$rec F1=$f1 weights=${w.toSeq}")
+    assert(f1 >= 0.99, s"refit logistic F1 $f1 below gate")
+  }
+
+  test("KB-anchored components keep the KB id (C2/C3 precedence)") {
+    val components = Seq(
+      ("m1", "m1"), ("m2", "m1"), // component m1 anchored via m2
+      ("m3", "m3")) // pure NIL
+      .toDF("id", "component")
+    val accepted = Seq(("m1", "m2", 0.99)).toDF("leftId", "rightId", "score")
+    val kb = Seq(("m2", "E0042")).toDF("id", "kbId")
+    val got = Decisions.assemble(components, accepted, Some(kb), 0.93)
+      .select($"mentionId", $"clusterId").as[(String, String)].collect().toMap
+    assert(got("m1") == "E0042" && got("m2") == "E0042")
+    assert(got("m3") == "NIL:m3")
+  }
+
+  test("blocking skew guard: oversized blocks dropped with overflow metrics") {
+    val conf = GraftConf(maxBlockSize = 3)
+    val rows = (0 until 10).map(i => (s"id$i", Seq("hot", s"cold$i"))) // "hot" block size 10 > 3
+    val df = rows.toDF("id", "blockKeys")
+    val res = Blocking(df, conf)
+    val overflowKeys = res.overflow.select($"key").as[String].collect().toSet
+    assert(overflowKeys == Set("hot"))
+    val keptKeys = res.blocks.select($"key").distinct().as[String].collect().toSet
+    assert(!keptKeys.contains("hot") && keptKeys.size == 10)
+  }
+
+  test("pair features: symmetric inputs give jw=lev=cos=1 and score above threshold") {
+    val conf = GraftConf()
+    val m = Seq(
+      ("a", "kubernetes", Seq("kubernetes"), Seq("k"), Seq(1L, 2L), Seq(0.6, 0.8)),
+      ("b", "kubernetes", Seq("kubernetes"), Seq("k"), Seq(1L, 2L), Seq(0.6, 0.8)),
+      ("c", "postgres", Seq("postgres"), Seq("p"), Seq(9L), Seq(1.0)))
+      .toDF("id", "entityString", "names", "abbrs", "vecH", "vecW")
+    val pairs = Seq(("a", "b", "k1"), ("a", "c", "k1")).toDF("leftId", "rightId", "blockKey")
+    val got = Scoring.score(pairs, m, PairWeights.default, conf)
+      .select($"rightId", $"jw", $"lev", $"cosine", $"score")
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val same = got("b")
+    assert(same._2 == 1.0 && same._3 == 1.0 && math.abs(same._4 - 1.0) < 1e-12)
+    assert(same._5 > 0.93)
+    assert(got("c")._5 < 0.93)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("streaming exact-dedup: first arrival per content hash wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamingDedup.dedupStream(docs, "text", "ts")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "alpha beta", ts(0)), (2L, "alpha beta", ts(1)),
+        (3L, "unique text", ts(1)))
+      q.processAllAvailable()
+      input.addData((4L, "alpha beta", ts(2)), (5L, "another one", ts(3)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select($"doc_id").as[Long].collect().toSet
+      assert(got.contains(3L) && got.contains(5L))
+      // exactly one of the "alpha beta" arrivals survives
+      assert(got.intersect(Set(1L, 2L, 4L)).size == 1)
+    } finally q.stop()
+  }
+
+  test("streaming ingest metrics: windowed counts with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "source", "ts")
+    val out = StreamingDedup.ingestMetrics(docs, "text", "ts", "source")
+    val q = out.writeStream.format("memory").queryName("metrics_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the cat is here and the dog", "s1", ts(0)),
+        (2L, "the cat is here and the dog", "s1", ts(1)),
+        (3L, "el gato y la casa", "s2", ts(2)))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first windows
+      input.addData((9L, "later doc text", "s1", ts(60)))
+      q.processAllAvailable()
+      val rows = spark.table("metrics_out")
+        .select($"source", $"n_docs").as[(String, Long)].collect().toMap
+      assert(rows("s1") == 2L && rows("s2") == 1L)
+    } finally q.stop()
+  }
+
+  test("enrich produces identical results in batch mode (one code path)") {
+    val batch = Seq((1L, "the cat and the dog is here")).toDF("doc_id", "text")
+    val got = StreamingDedup.enrich(batch, "text")
+      .select($"lang_pred", $"n_tokens").as[(String, Long)].head()
+    assert(got == ("en", 7L))
+  }
+}
