@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpr
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** True iff any cross pair (a ∈ left, b ∈ right) has a.startsWith(b) or
+  * b.startsWith(a) — the reference's `prefix` feature (F7,
+  * MentionPairFeatures.scala:68).
+  *
+  * The natural `exists(l, a -> exists(r, b -> startswith(...)))` formulation
+  * uses higher-order lambdas, which are CodegenFallback in Spark and knock
+  * the ENTIRE scoring projection out of whole-stage codegen. This expression
+  * does the same O(|l|·|r|) loop (arrays are 1-2 surface names) as a native
+  * codegen'd call, keeping the hot pairwise-scoring stage fused.
+  */
+case class ArrayPrefixOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "array_prefix_overlap"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ArrayPrefixOverlap.overlap(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.ArrayPrefixOverlap.overlap($l, $r);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayPrefixOverlap {
+  def overlap(l: ArrayData, r: ArrayData): Boolean = {
+    val nl = l.numElements(); val nr = r.numElements()
+    var i = 0
+    while (i < nl) {
+      if (!l.isNullAt(i)) {
+        val a = l.getUTF8String(i)
+        var j = 0
+        while (j < nr) {
+          if (!r.isNullAt(j)) {
+            val b = r.getUTF8String(j)
+            if (a.startsWith(b) || b.startsWith(a)) return true
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    false
+  }
+
+  def array_prefix_overlap(l: Column, r: Column): Column =
+    GraftExpr.column(ArrayPrefixOverlap(GraftExpr.expression(l), GraftExpr.expression(r)))
+}

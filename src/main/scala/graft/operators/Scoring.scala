@@ -66,8 +66,10 @@ object Scoring {
         sorted_vec_dot(col("lVecH"), col("lVecW"), col("rVecH"), col("rVecW")),
         lit(0.0)))
       .withColumn("namesOverlap", arrays_overlap(col("lNames"), col("rNames")))
-      .withColumn("prefix", exists(col("lNames"), a =>
-        exists(col("rNames"), b => a.startsWith(b) || b.startsWith(a))))
+      // NOT exists(.., exists(..)): higher-order lambdas are CodegenFallback
+      // and would break the whole projection out of whole-stage codegen
+      .withColumn("prefix",
+        graft.functions.ArrayPrefixOverlap.array_prefix_overlap(col("lNames"), col("rNames")))
       .withColumn("abbrMatch",
         arrays_overlap(col("lNames"), col("rAbbrs")) ||
           arrays_overlap(col("rNames"), col("lAbbrs")))

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators._
+import graft.sources.SynthCorpus
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan quality gates: the properties that matter at 100 TB must
+  * hold in the plan, not just in intent — filter/column pushdown into the
+  * parquet scan, broadcast of the small join side, custom expressions inside
+  * WholeStageCodegen, no cartesian products anywhere in the pipeline.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString()
+
+  test("filters and column pruning reach the parquet scan") {
+    val df = SparkEntry.queries("q_filter_project")(spark, sf)
+    val plan = executed(df)
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("IsNotNull(o_orderstatus)"),
+      s"missing pushdown in:\n$plan")
+    // scan must not read unused columns (e.g. o_orderdate, o_orderpriority)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_orderpriority") && !readSchema.contains("o_orderdate"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("small dimension join is a broadcast hash join") {
+    val df = SparkEntry.queries("q_join_agg")(spark, sf)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("alias dictionary join in the pipeline is broadcast") {
+    val files = SynthCorpus.corpus(spark, 5, 4)
+    val m = Mentions.build(spark, files, SynthCorpus.aliasDict, GraftConf())
+    assert(executed(m).contains("BroadcastHashJoin"))
+  }
+
+  test("jaro_winkler and sorted_vec_dot run inside WholeStageCodegen (no fallback)") {
+    val files = SynthCorpus.corpus(spark, 5, 4)
+    val conf = GraftConf()
+    val mentions = Mentions.prepare(spark, files, SynthCorpus.aliasDict, conf)
+    val scored = Scoring.score(
+      Blocking.candidatePairs(Blocking(mentions, conf).blocks), mentions,
+      PairWeights.default, conf)
+    // execute THIS df's own QueryExecution (count() would build a new one):
+    // with AQE the final codegen-annotated plan only exists after the action
+    assert(scored.collect().nonEmpty)
+    val plan = executed(scored)
+    assert(plan.contains("isFinalPlan=true"), s"AQE plan not finalized:\n$plan")
+    // in the final AQE rendering, whole-stage-codegen membership shows as a
+    // "*(n)" prefix on the operator line — the jaro_winkler projection must
+    // carry one (a CodegenFallback expression anywhere in it would strip it)
+    val jwLine = plan.linesIterator.find(_.contains("jaro_winkler"))
+      .getOrElse(fail("jaro_winkler not in plan"))
+    assert(jwLine.contains("*("),
+      s"scoring projection fell out of WholeStageCodegen:\n$jwLine")
+  }
+
+  test("no cartesian product anywhere in the pipeline plans") {
+    val files = SynthCorpus.corpus(spark, 5, 4)
+    val r = Pipeline.run(spark, files, SynthCorpus.aliasDict)
+    Seq(r.mentions, r.scored, r.decisions).foreach { df =>
+      val plan = executed(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    }
+    r.mentions.unpersist(); r.scored.unpersist(); r.components.unpersist()
+  }
+
+  test("pair self-join carries the l.id < r.id predicate into the join") {
+    val blocks = Seq(("k1", "a"), ("k1", "b"), ("k1", "c")).toDF("key", "id")
+    val pairs = Blocking.candidatePairs(blocks)
+    val opt = optimized(pairs)
+    assert(opt.contains("<") && pairs.count() == 3)
+  }
+
+  test("exact dedup is one aggregation + one join, no self-join of raw text") {
+    val df = SparkEntry.queries("q_exact_dedup")(spark, sf)
+    val plan = executed(df)
+    // a single hash-aggregate pair (partial+final) over the hash column
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("SortMergeJoin"), "exact dedup must not self-join")
+  }
+}
