@@ -220,6 +220,180 @@ object SparkEntry {
           explode(Aliases.backoffStrings($"name", $"es")).as("backoff"))
         .orderBy($"p_partkey", $"backoff")
     }),
+    // F11 confidence mapping (ConfidenceHelper.scala:6-16 quirk preserved)
+    "q_confidence" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .select(Decisions.confidence($"l_discount" * 10.0, 0.5).as("conf"))
+        .groupBy($"conf").agg(count(lit(1)).as("n"))
+        .orderBy($"conf")
+    }),
+    // C1/B2 exact-alias NIL clustering (RunKBPEntityLinkerSystem.scala:160-192)
+    "q_nil_cluster" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val decisions = docs.select(
+        $"doc_id".cast("string").as("mentionId"),
+        when($"doc_id" % 3 === 0, concat(lit("E:"), $"lang"))
+          .otherwise(concat(lit("NIL:"), $"doc_id")).as("clusterId"),
+        lit(0.9).as("confidence"))
+      val aliases = docs.select($"doc_id".cast("string").as("mentionId"),
+        $"source".as("alias"))
+      Aliases.clusterNilsByAlias(decisions, aliases)
+        .select($"mentionId", $"clusterId", round($"confidence", 2).as("confidence"))
+        .orderBy($"mentionId")
+    }),
+    // J8 range join: equi-key + offset-window predicate (ExtrSolrHelper.scala:47-60)
+    "q_range_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"user_id", $"event_id",
+          unix_micros($"ts".cast("timestamp")).as("us")) // ts is NTZ; session TZ=UTC
+      val l = ev.select($"user_id", $"event_id".as("l_id"), $"us".as("l_us"))
+      val r = ev.select($"user_id", $"event_id".as("r_id"), $"us".as("r_us"))
+      l.join(r, Seq("user_id"))
+        .where($"l_id" < $"r_id" && abs($"l_us" - $"r_us") < lit(300L * 1000000L))
+        .groupBy($"user_id").agg(count(lit(1)).as("n_near"))
+        .orderBy($"user_id")
+    }),
+    // F5/F7/F8/F9 boolean name features (MentionPairFeatures.scala:66-70)
+    "q_name_features" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "part")
+        .withColumn("l_names", split($"p_name", " "))
+        .withColumn("r_names", split($"p_type", " "))
+        .select($"p_partkey",
+          arrays_overlap($"l_names", $"r_names").as("names_overlap"),
+          exists($"l_names", a => exists($"r_names", b =>
+            startswith(a, b) || startswith(b, a))).as("prefix"),
+          exists($"l_names", a => exists($"r_names", b =>
+            (a.contains(b) || b.contains(a)) && a =!= b)).as("contains_f"),
+          (Mentions.initialism($"p_name") === upper($"p_brand")).as("abbr"))
+        .orderBy($"p_partkey")
+    }),
+    // F1/F2 scale path: relational term-frequency cosine within source blocks
+    // (explode -> hash agg -> pair join on term; threshold via integer
+    // cross-multiplication so the filter is exact, no float boundary)
+    "q_tf_cosine" -> ((s, d) => {
+      import s.implicits._
+      val tok = t(s, d, "documents")
+        .select($"doc_id", $"source", explode(split($"text", " ")).as("term"))
+        .groupBy($"doc_id", $"source", $"term").agg(count(lit(1)).as("tf"))
+      val norm2 = tok.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("n2"))
+      val l = tok.select($"source", $"term", $"doc_id".as("l_id"), $"tf".as("l_tf"))
+      val r = tok.select($"source", $"term", $"doc_id".as("r_id"), $"tf".as("r_tf"))
+      l.join(r, Seq("source", "term"))
+        .where($"l_id" < $"r_id")
+        .groupBy($"l_id", $"r_id")
+        .agg(sum($"l_tf" * $"r_tf").as("dot"))
+        .join(norm2.select($"doc_id".as("l_id"), $"n2".as("l_n2")), "l_id")
+        .join(norm2.select($"doc_id".as("r_id"), $"n2".as("r_n2")), "r_id")
+        .where($"dot" * $"dot" * 4 >= $"l_n2" * $"r_n2") // cos >= 0.5, exact
+        .select($"l_id", $"r_id",
+          round($"dot" / (sqrt($"l_n2") * sqrt($"r_n2")), 4).as("cos"))
+        .orderBy($"l_id", $"r_id")
+    }),
+    // G8 pairwise P/R/F1 at shared blocking keys (Benchmarker semantics;
+    // integer tp/fp/fn so the metric is exact)
+    "q_pairwise_f1" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select($"doc_id", $"source", $"lang", ($"n_chars" % 5).as("g"))
+      val l = docs.select($"source", $"doc_id".as("l_id"), $"lang".as("l_s"), $"g".as("l_g"))
+      val r = docs.select($"source", $"doc_id".as("r_id"), $"lang".as("r_s"), $"g".as("r_g"))
+      l.join(r, Seq("source")).where($"l_id" < $"r_id")
+        .agg(
+          sum(when($"l_s" === $"r_s" && $"l_g" === $"r_g", 1L).otherwise(0L)).as("tp"),
+          sum(when($"l_s" === $"r_s" && $"l_g" =!= $"r_g", 1L).otherwise(0L)).as("fp"),
+          sum(when($"l_s" =!= $"r_s" && $"l_g" === $"r_g", 1L).otherwise(0L)).as("fn"))
+        .select(
+          round($"tp" / ($"tp" + $"fp"), 6).as("precision"),
+          round($"tp" / ($"tp" + $"fn"), 6).as("recall"),
+          round(lit(2.0) * $"tp" / (lit(2.0) * $"tp" + $"fp" + $"fn"), 6).as("f1"))
+    }),
+    // G8 B³ precision/recall/F1 (Benchmarker.scala:39-77) as self-joins + agg
+    "q_b3" -> ((s, d) => {
+      import s.implicits._
+      val m = t(s, d, "documents")
+        .select($"doc_id".as("id"), $"lang".as("c"), ($"n_chars" % 5).as("g"))
+      val l = m.select($"id".as("lid"), $"c".as("lc"), $"g".as("lg"))
+      val r = m.select($"id".as("rid"), $"c".as("rc"), $"g".as("rg"))
+      val p = l.join(r, $"lc" === $"rc")
+        .groupBy($"lid").agg(avg(when($"lg" === $"rg", 1.0).otherwise(0.0)).as("p"))
+        .agg(avg($"p").as("b3p"))
+      val rec = l.join(r, $"lg" === $"rg")
+        .groupBy($"lid").agg(avg(when($"lc" === $"rc", 1.0).otherwise(0.0)).as("r"))
+        .agg(avg($"r").as("b3r"))
+      p.crossJoin(rec).select(
+        round($"b3p", 6).as("b3p"), round($"b3r", 6).as("b3r"),
+        round(lit(2.0) * $"b3p" * $"b3r" / ($"b3p" + $"b3r"), 6).as("b3f1"))
+    }),
+    // G9 benchmark category counts (Benchmarker.scala:80-128 when-chain)
+    "q_categories" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val sys = docs.select($"doc_id".as("mentionId"),
+        when($"doc_id" % 2 === 0, concat(lit("E:"), $"lang"))
+          .otherwise(concat(lit("NIL:"), $"doc_id")).as("clusterId"))
+      val gold = docs.select($"doc_id".as("id"),
+        when($"doc_id" % 4 =!= 3, concat(lit("E:"), $"lang"))
+          .otherwise(concat(lit("NIL:"), $"doc_id")).as("gold"))
+      Reports.categoryCounts(sys, gold)
+    }),
+    // O2 shortest-candidate pick (min_by with deterministic tie-break)
+    "q_min_by" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val best = docs.groupBy($"source").agg(min(length($"text")).as("best_len"))
+      docs.join(best, "source")
+        .where(length($"text") === $"best_len")
+        .groupBy($"source", $"best_len").agg(min($"doc_id").as("best_doc"))
+        .orderBy($"source")
+    }),
+    // F13 dictionary expansion via map literal (AbbreviationData.scala:5-55)
+    "q_dict_expand" -> ((s, d) => {
+      import s.implicits._
+      val fam = typedLit(Map(
+        "en" -> "germanic", "de" -> "germanic",
+        "fr" -> "romance", "es" -> "romance"))
+      t(s, d, "documents")
+        .select(coalesce(try_element_at(fam, $"lang"), lit("other")).as("family"))
+        .groupBy($"family").agg(count(lit(1)).as("n"))
+        .orderBy($"family")
+    }),
+    // G2 NaiveBayes-style doc classification: token explode -> broadcast
+    // class-weight join -> per-doc sum -> argmax (integer weights, exact)
+    "q_nb_score" -> ((s, d) => {
+      import s.implicits._
+      val probs = Seq(
+        ("table", "sql", 30), ("join", "sql", 25), ("agg", "sql", 20),
+        ("scan", "sql", 15), ("query", "sql", 15),
+        ("window", "stream", 30), ("stream", "stream", 35),
+        ("batch", "stream", 20), ("spark", "stream", 10))
+        .toDF("term", "cls", "w")
+      val tok = t(s, d, "documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+      tok.join(broadcast(probs), "term")
+        .groupBy($"doc_id", $"cls").agg(sum($"w").as("score"))
+        .groupBy($"doc_id")
+        .agg(max(struct($"score", $"cls")).as("b"))
+        .select($"doc_id", $"b.cls".as("cls"), $"b.score".as("score"))
+        .groupBy($"cls").agg(count(lit(1)).as("n_docs"), sum($"score").as("total"))
+        .orderBy($"cls")
+    }),
+    // A2/A4 best alias expansion from a candidates array (acronym-initials
+    // rule, prefix/suffix extension rule, fallback; shortest winner)
+    "q_alias_expand" -> ((s, d) => {
+      import s.implicits._
+      val p = t(s, d, "part").select($"p_partkey",
+        when($"p_partkey" % 3 === 0, upper(Mentions.initialism($"p_name")))
+          .otherwise(split($"p_name", " ").getItem(0)).as("name"),
+        array(initcap($"p_name"), $"p_name",
+          concat($"p_type", lit(" "), $"p_name")).as("cands"))
+      p.select($"p_partkey", $"name",
+          Aliases.bestExpansion($"name", $"cands").as("expanded"))
+        .orderBy($"p_partkey")
+    }),
     // ---- non-SQL-expressible ops (rows-only driver check)
     // simhash fingerprints + near-dup groups over documents
     "q_simhash_dedup" -> ((s, d) => {
@@ -430,6 +604,169 @@ object SparkEntry {
       """SELECT user_id, event_id,
         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
-        |FROM events ORDER BY user_id, event_id""".stripMargin
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_confidence" ->
+      """SELECT conf, count(*) AS n FROM (
+        |  SELECT CASE WHEN l_discount * 10.0 > 0.5
+        |    THEN (floor(l_discount * 10.0 * 100.0 - 50.0) * CAST(0.4 AS DOUBLE) + 80.0) / 100.0
+        |    ELSE 0.55 END AS conf FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_nil_cluster" ->
+      """WITH dec AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS mentionId,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'E:' || lang
+        |         ELSE 'NIL:' || CAST(doc_id AS VARCHAR) END AS clusterId,
+        |    CAST(0.9 AS DOUBLE) AS confidence, source AS alias
+        |  FROM documents),
+        |nils AS (SELECT * FROM dec WHERE clusterId LIKE 'NIL%'),
+        |heads AS (SELECT alias, min(clusterId) AS headId, count(*) AS gs
+        |          FROM nils GROUP BY 1)
+        |SELECT mentionId, clusterId, round(confidence, 2) AS confidence FROM (
+        |  SELECT mentionId, clusterId, confidence FROM dec
+        |  WHERE clusterId NOT LIKE 'NIL%'
+        |  UNION ALL
+        |  SELECT n.mentionId, h.headId AS clusterId,
+        |    CASE WHEN h.gs > 1 THEN CAST(0.6 AS DOUBLE) ELSE CAST(0.9 AS DOUBLE) END
+        |  FROM nils n JOIN heads h ON n.alias = h.alias)
+        |ORDER BY mentionId""".stripMargin,
+    "q_range_join" ->
+      """SELECT l.user_id AS user_id, count(*) AS n_near
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |WHERE l.event_id < r.event_id
+        |  AND abs(epoch_us(l.ts) - epoch_us(r.ts)) < 300000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_name_features" ->
+      """SELECT p_partkey,
+        |  list_has_any(l, r) AS names_overlap,
+        |  len(list_filter(l, a -> len(list_filter(r, b ->
+        |    starts_with(a, b) OR starts_with(b, a))) > 0)) > 0 AS prefix,
+        |  len(list_filter(l, a -> len(list_filter(r, b ->
+        |    (contains(a, b) OR contains(b, a)) AND a != b)) > 0)) > 0 AS contains_f,
+        |  array_to_string(list_transform(string_split(p_name, ' '), w -> w[1]), '')
+        |    = upper(p_brand) AS abbr
+        |FROM (SELECT p_partkey, p_name, p_brand,
+        |        string_split(p_name, ' ') AS l, string_split(p_type, ' ') AS r
+        |      FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_tf_cosine" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, term, count(*) AS tf
+        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2, 3),
+        |n2 AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tok GROUP BY 1),
+        |dots AS (
+        |  SELECT l.doc_id AS l_id, r.doc_id AS r_id, sum(l.tf * r.tf) AS dot
+        |  FROM tok l JOIN tok r ON l.source = r.source AND l.term = r.term
+        |  WHERE l.doc_id < r.doc_id GROUP BY 1, 2)
+        |SELECT d.l_id, d.r_id,
+        |  round(d.dot / (sqrt(ln2.n2) * sqrt(rn2.n2)), 4) AS cos
+        |FROM dots d
+        |JOIN n2 ln2 ON d.l_id = ln2.doc_id
+        |JOIN n2 rn2 ON d.r_id = rn2.doc_id
+        |WHERE d.dot * d.dot * 4 >= ln2.n2 * rn2.n2
+        |ORDER BY l_id, r_id""".stripMargin,
+    "q_pairwise_f1" ->
+      """WITH d AS (SELECT doc_id, source, lang, n_chars % 5 AS g FROM documents),
+        |lab AS (
+        |  SELECT (l.lang = r.lang) AS ss, (l.g = r.g) AS gs
+        |  FROM d l JOIN d r ON l.source = r.source
+        |  WHERE l.doc_id < r.doc_id),
+        |c AS (SELECT
+        |  sum(CASE WHEN ss AND gs THEN 1 ELSE 0 END) AS tp,
+        |  sum(CASE WHEN ss AND NOT gs THEN 1 ELSE 0 END) AS fp,
+        |  sum(CASE WHEN NOT ss AND gs THEN 1 ELSE 0 END) AS fn FROM lab)
+        |SELECT round(tp / (tp + fp), 6) AS precision,
+        |  round(tp / (tp + fn), 6) AS recall,
+        |  round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1 FROM c""".stripMargin,
+    "q_b3" ->
+      """WITH m AS (SELECT doc_id AS id, lang AS c, n_chars % 5 AS g FROM documents),
+        |p AS (SELECT avg(pi) AS b3p FROM (
+        |  SELECT l.id, avg(CASE WHEN l.g = r.g THEN 1 ELSE 0 END) AS pi
+        |  FROM m l JOIN m r ON l.c = r.c GROUP BY 1)),
+        |r AS (SELECT avg(ri) AS b3r FROM (
+        |  SELECT l.id, avg(CASE WHEN l.c = r.c THEN 1 ELSE 0 END) AS ri
+        |  FROM m l JOIN m r ON l.g = r.g GROUP BY 1))
+        |SELECT round(b3p, 6) AS b3p, round(b3r, 6) AS b3r,
+        |  round(2.0 * b3p * b3r / (b3p + b3r), 6) AS b3f1 FROM p, r""".stripMargin,
+    "q_categories" ->
+      """WITH sys AS (SELECT doc_id AS mentionId,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'E:' || lang
+        |         ELSE 'NIL:' || CAST(doc_id AS VARCHAR) END AS sysId
+        |  FROM documents),
+        |gold AS (SELECT doc_id AS mentionId,
+        |    CASE WHEN doc_id % 4 != 3 THEN 'E:' || lang
+        |         ELSE 'NIL:' || CAST(doc_id AS VARCHAR) END AS goldId
+        |  FROM documents)
+        |SELECT category, count(*) AS n FROM (
+        |  SELECT CASE
+        |    WHEN sysId NOT LIKE 'NIL%' AND goldId NOT LIKE 'NIL%'
+        |         AND sysId = goldId THEN 'CORRECT'
+        |    WHEN sysId NOT LIKE 'NIL%' AND goldId NOT LIKE 'NIL%' THEN 'WRONG KB ID'
+        |    WHEN sysId NOT LIKE 'NIL%' AND goldId LIKE 'NIL%' THEN 'EXPECTED NIL'
+        |    WHEN sysId LIKE 'NIL%' AND goldId NOT LIKE 'NIL%' THEN 'EXPECTED KB'
+        |    ELSE 'NIL OK' END AS category
+        |  FROM sys JOIN gold USING (mentionId))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_min_by" ->
+      """WITH best AS (SELECT source, min(length(text)) AS best_len
+        |              FROM documents GROUP BY 1)
+        |SELECT d.source AS source, b.best_len, min(d.doc_id) AS best_doc
+        |FROM documents d
+        |JOIN best b ON d.source = b.source AND length(d.text) = b.best_len
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q_dict_expand" ->
+      """SELECT family, count(*) AS n FROM (
+        |  SELECT CASE lang WHEN 'en' THEN 'germanic' WHEN 'de' THEN 'germanic'
+        |    WHEN 'fr' THEN 'romance' WHEN 'es' THEN 'romance'
+        |    ELSE 'other' END AS family
+        |  FROM documents) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_nb_score" ->
+      """WITH probs(term, cls, w) AS (VALUES
+        |  ('table','sql',30),('join','sql',25),('agg','sql',20),
+        |  ('scan','sql',15),('query','sql',15),
+        |  ('window','stream',30),('stream','stream',35),
+        |  ('batch','stream',20),('spark','stream',10)),
+        |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |        FROM documents),
+        |sc AS (SELECT doc_id, cls, sum(w) AS score
+        |       FROM tok JOIN probs USING (term) GROUP BY 1, 2),
+        |best AS (SELECT doc_id, cls, score FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY doc_id ORDER BY score DESC, cls DESC) AS rn FROM sc)
+        |  WHERE rn = 1)
+        |SELECT cls, count(*) AS n_docs, sum(score) AS total
+        |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_alias_expand" ->
+      """WITH base AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 3 = 0
+        |      THEN upper(array_to_string(list_transform(
+        |             string_split(p_name, ' '), w -> w[1]), ''))
+        |      ELSE string_split(p_name, ' ')[1] END AS name,
+        |    [array_to_string(list_transform(string_split(p_name, ' '),
+        |        w -> upper(w[1]) || w[2:]), ' '),
+        |     p_name,
+        |     p_type || ' ' || p_name] AS cands
+        |  FROM part),
+        |c AS (SELECT p_partkey, name, unnest(cands) AS cand FROM base),
+        |f AS (SELECT p_partkey, name, cand,
+        |    regexp_matches(name, '^[A-Z0-9]{2,5}$') AS isacr,
+        |    upper(array_to_string(list_transform(list_filter(
+        |      string_split(cand, ' '), w -> regexp_matches(w, '^[A-Z]')),
+        |      w -> w[1]), '')) = upper(name) AS acr_ok,
+        |    (starts_with(lower(cand), lower(name))
+        |       OR ends_with(lower(cand), lower(name)))
+        |      AND len(string_split(cand, ' ')) < 4
+        |      AND length(cand) > length(name) AS ext_ok
+        |  FROM c),
+        |pick AS (SELECT p_partkey, any_value(name) AS name,
+        |    (array_agg(cand ORDER BY length(cand), cand)
+        |       FILTER (WHERE isacr AND acr_ok))[1] AS acr_pick,
+        |    (array_agg(cand ORDER BY length(cand), cand)
+        |       FILTER (WHERE ext_ok))[1] AS ext_pick
+        |  FROM f GROUP BY p_partkey)
+        |SELECT p_partkey, name, coalesce(acr_pick, ext_pick, name) AS expanded
+        |FROM pick ORDER BY p_partkey""".stripMargin
   )
 }
