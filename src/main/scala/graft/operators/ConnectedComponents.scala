@@ -34,9 +34,12 @@ object ConnectedComponents {
     val spark = nodes.sparkSession
     import spark.implicits._
 
+    // Iterate over REAL edges only — isolated nodes (the vast majority in
+    // dedup workloads) never enter the loop; they default to themselves in
+    // the final left join. Iteration cost scales with |E|, not |V|.
     var cur = edges.select($"src", $"dst")
-      .union(nodes.select(col("id").as("src"), col("id").as("dst"))) // self-loops keep isolated nodes
       .select(greatest($"src", $"dst").as("src"), least($"src", $"dst").as("dst"))
+      .where($"src" =!= $"dst")
       .distinct()
       .localCheckpoint(true)
 
@@ -53,9 +56,8 @@ object ConnectedComponents {
       iter += 1
     }
 
-    // converged edge set: every node points at its component min. Isolated
-    // nodes lose their self-loop inside the iteration (large-star keeps only
-    // dst > src), so rejoin the node list and default them to themselves.
+    // converged edge set: every edge-touched node points at its component
+    // min; nodes that never appeared in an edge default to themselves.
     val assigned = cur.select(col("src").as("id"), col("dst"))
       .union(cur.select(col("dst").as("id"), col("dst")))
       .groupBy($"id").agg(min($"dst").as("comp"))
