@@ -41,7 +41,7 @@ object Pipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val blocked = Blocking(mentions, conf)
-    val pairs = Blocking.candidatePairs(blocked.blocks)
+    val pairs = Blocking.candidatePairs(blocked.blocks, conf)
     val scored = Scoring.score(pairs, mentions, weights, conf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -79,7 +79,7 @@ object Pipeline {
       Blocking(mentions, conf).overflow
     }
     val scored = cp.getOrCompute("scored_pairs", h, Seq("blocks")) {
-      Scoring.score(Blocking.candidatePairs(blocks), mentions, weights, conf)
+      Scoring.score(Blocking.candidatePairs(blocks, conf), mentions, weights, conf)
     }
     val components = cp.getOrCompute("components", h, Seq("scored_pairs")) {
       val edges = scored.where($"score" > conf.linkThreshold)

@@ -394,6 +394,15 @@ object SparkEntry {
           Aliases.bestExpansion($"name", $"cands").as("expanded"))
         .orderBy($"p_partkey")
     }),
+    // J7 anti-join (reference gold-minus-system set difference)
+    "q_anti_join" -> ((s, d) => {
+      import s.implicits._
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").select($"o_custkey").distinct()
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    }),
     // ---- non-SQL-expressible ops (rows-only driver check)
     // simhash fingerprints + near-dup groups over documents
     "q_simhash_dedup" -> ((s, d) => {
@@ -737,6 +746,10 @@ object SparkEntry {
         |  WHERE rn = 1)
         |SELECT cls, count(*) AS n_docs, sum(score) AS total
         |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q_alias_expand" ->
       """WITH base AS (
         |  SELECT p_partkey,

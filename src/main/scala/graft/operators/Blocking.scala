@@ -29,7 +29,8 @@ object Blocking {
     val keyed = exploded.join(sizes, "key")
 
     Result(
-      blocks = keyed.where($"blockSize" <= conf.maxBlockSize).select($"key", $"id"),
+      blocks = keyed.where($"blockSize" <= conf.maxBlockSize)
+        .select($"key", $"id", $"blockSize"),
       overflow = sizes.where($"blockSize" > conf.maxBlockSize))
   }
 
@@ -38,13 +39,46 @@ object Blocking {
     * generator B4, Clusterer.scala:89-93, pruned by blocking instead of the
     * O(n²) cross product). Pairs found under several keys are deduplicated
     * with one more hash aggregation keyed on the pair.
+    *
+    * Skew (north_star "salted name/alias blocking keys"): blocks larger than
+    * `saltThreshold` are pair-generated via bucket-pair salting — each row
+    * gets salt s = pmod(xxhash64(id), S); the left side of a pair covers
+    * bucket pairs (s, s..S-1), the right side (0..s, s), and the join keys on
+    * (key, i, j). One hot key's O(n²) pair generation then spreads over
+    * S(S+1)/2 shuffle keys instead of landing in a single task. Every
+    * unordered pair surfaces exactly once across bucket pairs (twice within
+    * the diagonal i = j — removed by the final pair-dedup aggregation, which
+    * already exists because a pair can be found under several keys).
     */
-  def candidatePairs(blocks: DataFrame): DataFrame = {
+  def candidatePairs(blocks: DataFrame, conf: GraftConf = GraftConf()): DataFrame = {
     import blocks.sparkSession.implicits._
-    val l = blocks.select($"key", $"id".as("leftId"))
-    val r = blocks.select($"key", $"id".as("rightId"))
-    l.join(r, Seq("key"))
+    val sized =
+      if (blocks.columns.contains("blockSize")) blocks
+      else {
+        val sizes = blocks.groupBy($"key").agg(count(lit(1)).as("blockSize"))
+        blocks.join(sizes, "key")
+      }
+
+    val cold = sized.where($"blockSize" <= conf.saltThreshold)
+    val l = cold.select($"key", $"id".as("leftId"))
+    val r = cold.select($"key", $"id".as("rightId"))
+    val coldPairs = l.join(r, Seq("key"))
       .where($"leftId" < $"rightId")
+      .select($"leftId", $"rightId", $"key")
+
+    val s = conf.saltBuckets
+    val hot = sized.where($"blockSize" > conf.saltThreshold)
+      .withColumn("salt", pmod(xxhash64($"id"), lit(s.toLong)).cast("int"))
+    val hl = hot.select($"key", $"id".as("lid"), $"salt".as("i"),
+      explode(sequence($"salt", lit(s - 1))).as("j"))
+    val hr = hot.select($"key", $"id".as("rid"),
+      explode(sequence(lit(0), $"salt")).as("i"), $"salt".as("j"))
+    val hotPairs = hl.join(hr, Seq("key", "i", "j"))
+      .where($"lid" =!= $"rid")
+      .select(least($"lid", $"rid").as("leftId"),
+        greatest($"lid", $"rid").as("rightId"), $"key")
+
+    coldPairs.unionByName(hotPairs)
       .groupBy($"leftId", $"rightId")
       .agg(min($"key").as("blockKey"))
   }

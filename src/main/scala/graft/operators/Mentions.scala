@@ -12,6 +12,8 @@ final case class GraftConf(
     minHashes: Int = 32, // minhash permutations
     bands: Int = 16, // LSH bands (rows = 2): s-curve threshold (1/16)^(1/2) = 0.25 Jaccard
     maxBlockSize: Int = 256, // skew guard: cap pairs per block (metrics, not silent)
+    saltThreshold: Int = 64, // blocks larger than this get salted pair generation
+    saltBuckets: Int = 8, // salt fan-out: a hot key spreads over S(S+1)/2 shuffle keys
     seed: Long = 42L,
     levBound: Int = 16 // bounded Levenshtein threshold (north_star)
 )

@@ -138,6 +138,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("salted hot-block pair generation equals the naive pair set") {
+    import graft.operators.{Blocking, GraftConf}
+    val conf = GraftConf(saltThreshold = 10, saltBuckets = 4)
+    // one hot block (40 ids, > threshold -> salted path) and one cold block
+    // (5 ids, <= threshold -> sort-merge path); ids overlap so some pairs
+    // are found under both keys and must dedup to the min key
+    val hot = (0 until 40).map(i => ("khot", f"id$i%03d"))
+    val cold = (0 until 5).map(i => ("kcold", f"id$i%03d"))
+    val blocks = (hot ++ cold).toDF("key", "id")
+    val got = Blocking.candidatePairs(blocks, conf)
+      .select($"leftId", $"rightId", $"blockKey")
+      .as[(String, String, String)].collect()
+    def naivePairs(ids: Seq[String]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val expected = (naivePairs(hot.map(_._2)) ++ naivePairs(cold.map(_._2))).toSet
+    assert(got.map(p => (p._1, p._2)).toSet == expected)
+    assert(got.length == expected.size, "pair dedup across keys failed")
+    // pairs found under both keys take the lexicographic min key
+    val both = got.filter(p => p._1 < "id005" && p._2 < "id005")
+    assert(both.nonEmpty && both.forall(_._3 == "kcold"))
+  }
+
   test("deterministic sample is stable across partitionings") {
     val df = (0 until 500).map(i => (s"id$i", i)).toDF("k", "v")
     val a = Reports.deterministicSample(df, Seq("k"), 50).as[(String, Int)].collect().toSeq
