@@ -68,42 +68,56 @@ object Mentions {
       "tokens", filter(split(lower($"content"), "[^a-z0-9]+"), t => length(t) > 0))
   }
 
-  /** Full mention prep: build → blocking keys → TF-IDF, then PRUNE the wide
-    * columns (content, tokens, repo/path/commit) so everything downstream —
-    * the vec join-back, blocking explode, the two scoring joins, CC — only
-    * ever shuffles narrow rows. Column pruning here is worth more than any
-    * operator tweak at 100 TB.
+  /** Full mention prep: build → blocking keys + TF-IDF vectors, then PRUNE
+    * the wide columns (content, tokens, repo/path/commit) so everything
+    * downstream — the vec join-back, blocking explode, the two scoring
+    * joins, CC — only ever shuffles narrow rows. Column pruning here is
+    * worth more than any operator tweak at 100 TB.
+    *
+    * Pass economics: the vectors are computed from a LEAN (id, tokens)
+    * projection, N comes from `files.count()` (metadata-only on parquet),
+    * and `tfidfVectors` materializes its output — so the expensive tokenize
+    * pass runs exactly once and the minhash blocking keys exactly once (in
+    * the main frame), instead of once per downstream consumer.
     */
   def prepare(spark: SparkSession, files: DataFrame,
-              aliasDict: Map[String, String], conf: GraftConf): DataFrame =
-    withTfIdf(withBlockKeys(build(spark, files, aliasDict, conf), conf), conf)
+              aliasDict: Map[String, String], conf: GraftConf): DataFrame = {
+    val base = build(spark, files, aliasDict, conf)
+    val vecs = tfidfVectors(base.select(col("id"), col("tokens")), conf, files.count())
+    withBlockKeys(base, conf)
+      .drop("content", "tokens", "repo", "path", "commit", "lang")
+      .join(vecs, col("id") === col("vid"), "left").drop("vid")
+  }
 
-  /** Attach unit-normalized TF-IDF sparse vectors (vecH: array<long> sorted,
+  /** Unit-normalized TF-IDF sparse vectors (vid, vecH: array<long> sorted,
     * vecW: array<double> aligned) computed against the corpus document
-    * frequencies.
+    * frequencies, from a (id, tokens) frame.
     *
     * Shuffle economics at scale: term frequencies are computed IN-ROW from
     * the tokens array (no (id, term) shuffle of one row per token); only the
     * per-document DISTINCT terms are exploded — for the document-frequency
     * aggregation (map-side combinable, output = vocabulary size) and the
     * idf join. The final re-aggregation keys on id with narrow rows
-    * (id, h, tf·idf). Content/token columns never enter a shuffle here.
+    * (id, h, tf·idf). The tf frame feeds BOTH the df aggregation and the
+    * idf join, so it is persisted for the duration and the result is
+    * materialized (lineage cut) — one tokenize pass total; on a cluster the
+    * checkpointed-stage variant gives the same single-pass property via the
+    * stage table.
     */
-  def withTfIdf(mentions: DataFrame, conf: GraftConf): DataFrame = {
-    val spark = mentions.sparkSession
+  def tfidfVectors(docs: DataFrame, conf: GraftConf, docCount: Long): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
 
-    // (id, term, tf) with tf computed in-row: O(distinct × len) per row,
-    // zero shuffle. Rows carried into the join are narrow.
-    val tf = mentions
+    val tf = docs
       .select($"id",
         explode(transform(array_distinct($"tokens"),
           t => struct(t.as("term"),
             size(filter($"tokens", x => x === t)).as("tf")))).as("e"))
       .select($"id", $"e.term".as("term"), $"e.tf".as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val n = mentions.count().toDouble
+    val n = docCount.toDouble
 
     val weighted = tf.join(df, "term")
       .select($"id", xxhash64($"term").as("h"),
@@ -116,11 +130,9 @@ object Mentions {
         $"id".as("vid"),
         transform($"hw", x => x("h")).as("vecH"),
         transform($"hw", x => x("w") / $"norm").as("vecW"))
-
-    // join-back on NARROW rows only — the wide text columns are pruned here
-    // and never shuffled
-    mentions.drop("content", "tokens", "repo", "path", "commit", "lang")
-      .join(vecs, col("id") === col("vid"), "left").drop("vid")
+      .localCheckpoint(true)
+    tf.unpersist()
+    vecs
   }
 
   /** Content k-shingle hashes (array<long>) for MinHash blocking. */
