@@ -81,17 +81,21 @@ object Bench {
     val (nPairs, pipeSec) = pipelineThroughput(spark, fams)
     val pairsPerSec = nPairs / pipeSec
 
+    // a crashing query must surface as a failure, not a (fast) healthy-looking
+    // timing: failed queries report -1.0 and land in the errors list
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + pipeSec
+    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum + pipeSec
     println(
-      f"""{"metric":"scored_pairs_per_sec","value":$pairsPerSec%.1f,"unit":"pairs/sec","scored_pairs":$nPairs%d,"pipeline_sec":$pipeSec%.3f,"total_sec":$total%.3f,"queries":$qs%s,"sf":"$sfDir%s","cpus":$cpus%d}""")
+      f"""{"metric":"scored_pairs_per_sec","value":$pairsPerSec%.1f,"unit":"pairs/sec","scored_pairs":$nPairs%d,"pipeline_sec":$pipeSec%.3f,"total_sec":$total%.3f,"queries":$qs%s,"errors":$errs%s,"sf":"$sfDir%s","cpus":$cpus%d}""")
     spark.stop()
   }
 }

@@ -67,7 +67,13 @@ object Pipeline {
                       kbAnchors: Option[DataFrame] = None): Result = {
     import spark.implicits._
     val cp = new Checkpoint(spark, checkpointRoot)
-    val h = Checkpoint.hash(conf, weights)
+    // hash covers EVERYTHING that changes stage outputs: conf, weights, the
+    // alias dictionary, and an input fingerprint (row count + schema — cheap:
+    // parquet metadata only). Rerunning against the same checkpoint root with
+    // a different dictionary or input must not silently reuse stale stages.
+    val h = Checkpoint.hash(conf, weights,
+      aliasDict.toSeq.sorted.mkString(","),
+      files.count(), files.schema.catalogString)
 
     val mentions = cp.getOrCompute("mentions", h, Seq("files")) {
       Mentions.prepare(spark, files, aliasDict, conf)

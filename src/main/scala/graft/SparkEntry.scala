@@ -429,9 +429,17 @@ object SparkEntry {
         .select($"doc_id", $"lang_pred", $"quality", $"n_tokens_ws",
           $"n_tokens_bpe", size($"fp").as("fp_len"))
     }),
-    // multimodal plumbing: synthetic media -> batched feature extraction
+    // multimodal plumbing: synthetic media -> batched feature extraction.
+    // Projected to SCALAR columns (the driver's pandas compare sorts/hashes
+    // every column, and array<float> is unhashable there): first feature
+    // rounded + a 64-bit hash of the full rounded vector.
     "q_multimodal_features" -> ((s, _) => {
+      import s.implicits._
       Multimodal.extractFeatures(Multimodal.synth(s, 256)).toDF()
+        .select($"id", $"kind", $"featureDim",
+          round($"features".getItem(0), 4).as("f0"),
+          xxhash64(to_json(transform($"features", f => round(f, 4)))).as("fhash"))
+        .orderBy($"id")
     }),
     // minhash-LSH block keys over documents (B1 reframing)
     "q_minhash_blocks" -> ((s, d) => {
@@ -628,14 +636,12 @@ object SparkEntry {
         |    CAST(0.9 AS DOUBLE) AS confidence, source AS alias
         |  FROM documents),
         |nils AS (SELECT * FROM dec WHERE clusterId LIKE 'NIL%'),
-        |heads AS (SELECT alias, min(clusterId) AS headId, count(*) AS gs
-        |          FROM nils GROUP BY 1)
+        |heads AS (SELECT alias, min(clusterId) AS headId FROM nils GROUP BY 1)
         |SELECT mentionId, clusterId, round(confidence, 2) AS confidence FROM (
         |  SELECT mentionId, clusterId, confidence FROM dec
         |  WHERE clusterId NOT LIKE 'NIL%'
         |  UNION ALL
-        |  SELECT n.mentionId, h.headId AS clusterId,
-        |    CASE WHEN h.gs > 1 THEN CAST(0.6 AS DOUBLE) ELSE CAST(0.9 AS DOUBLE) END
+        |  SELECT n.mentionId, h.headId AS clusterId, CAST(0.6 AS DOUBLE)
         |  FROM nils n JOIN heads h ON n.alias = h.alias)
         |ORDER BY mentionId""".stripMargin,
     "q_range_join" ->
@@ -744,7 +750,8 @@ object SparkEntry {
         |    SELECT *, row_number() OVER
         |      (PARTITION BY doc_id ORDER BY score DESC, cls DESC) AS rn FROM sc)
         |  WHERE rn = 1)
-        |SELECT cls, count(*) AS n_docs, sum(score) AS total
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(score) AS BIGINT) AS total
         |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer

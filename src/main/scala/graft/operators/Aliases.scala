@@ -59,19 +59,27 @@ object Aliases {
 
   /** C1/B2 — exact-alias NIL clustering (RunKBPEntityLinkerSystem
     * .scala:160-192): group NIL decisions by expanded alias, rewrite every
-    * member to the group's min cluster id, confidence 0.6 for merged rows.
+    * member — singletons included — to the group's min cluster id at
+    * confidence 0.6 (the reference rewrites every matched NIL to 0.6, even
+    * when its group has one member). NIL decisions with no alias row pass
+    * through unchanged (the reference keeps unmatched NILs as-is), so the
+    * alias join is a LEFT join; a mention with several alias rows uses its
+    * min alias (the reference's queryMap holds one entityString per query,
+    * so multiplicity is a caller-side anomaly we collapse deterministically).
     * Input: decisions (mentionId, clusterId, confidence) + aliases
     * (mentionId, alias). Degenerate radius-0 connected components.
     */
   def clusterNilsByAlias(decisions: DataFrame, aliases: DataFrame): DataFrame = {
     import decisions.sparkSession.implicits._
+    val oneAlias = aliases.groupBy($"mentionId").agg(min($"alias").as("alias"))
     val nils = decisions.where($"clusterId".startsWith("NIL"))
-      .join(aliases, "mentionId")
-    val heads = nils.groupBy($"alias")
-      .agg(min($"clusterId").as("headId"), count(lit(1)).as("groupSize"))
-    val merged = nils.join(heads, "alias")
-      .select($"mentionId", $"headId".as("clusterId"),
-        when($"groupSize" > 1, lit(0.6)).otherwise($"confidence").as("confidence"))
+      .join(oneAlias, Seq("mentionId"), "left")
+    val heads = nils.where($"alias".isNotNull).groupBy($"alias")
+      .agg(min($"clusterId").as("headId"))
+    val merged = nils.join(heads, Seq("alias"), "left")
+      .select($"mentionId",
+        coalesce($"headId", $"clusterId").as("clusterId"),
+        when($"headId".isNotNull, lit(0.6)).otherwise($"confidence").as("confidence"))
     decisions.where(!$"clusterId".startsWith("NIL"))
       .unionByName(merged)
   }

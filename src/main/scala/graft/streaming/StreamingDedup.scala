@@ -28,14 +28,18 @@ object StreamingDedup {
       .withColumn("n_tokens", TextAnalysis.tokenCountWs(col(textCol)))
 
   /** Exact dedup on the stream: first arrival of each content hash within
-    * the watermark wins; later copies are dropped. State = one row per
-    * distinct hash inside the watermark window — bounded.
+    * the watermark wins; later copies are dropped.
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`) is what
+    * bounds the state: Spark evicts a hash's dedup entry once the watermark
+    * passes its first-arrival event time, so state = one row per distinct
+    * hash *inside the watermark window*. Plain `dropDuplicates` without the
+    * event-time column in the key set never evicts and grows forever.
     */
   def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
                   watermark: String = "10 minutes"): DataFrame =
     enrich(docs, textCol)
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("content_sha")
+      .dropDuplicatesWithinWatermark("content_sha")
 
   /** Windowed ingest metrics (per source, per window): arrival counts and
     * quality aggregates — the stream-side analogue of the checkpoint

@@ -35,14 +35,18 @@ class OperatorsSpec extends SparkSpec {
   test("clusterNilsByAlias merges NIL decisions sharing an alias at conf 0.6") {
     val decisions = Seq(
       ("m1", "NIL:a", 0.9), ("m2", "NIL:b", 0.9), ("m3", "NIL:c", 0.9),
-      ("m4", "KB001", 0.95)).toDF("mentionId", "clusterId", "confidence")
-    val aliases = Seq(("m1", "acme"), ("m2", "acme"), ("m3", "zeta"), ("m4", "acme"))
-      .toDF("mentionId", "alias")
+      ("m4", "KB001", 0.95), ("m5", "NIL:e", 0.9)).toDF("mentionId", "clusterId", "confidence")
+    val aliases = Seq(("m1", "acme"), ("m2", "acme"), ("m2", "acme2"), ("m3", "zeta"),
+      ("m4", "acme")).toDF("mentionId", "alias")
     val got = Aliases.clusterNilsByAlias(decisions, aliases)
       .as[(String, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 5) // duplicate alias rows (m2) don't duplicate decisions
     assert(got("m1") == ("NIL:a", 0.6) && got("m2") == ("NIL:a", 0.6))
-    assert(got("m3") == ("NIL:c", 0.9)) // singleton alias keeps its id + conf
+    // reference rewrites EVERY matched NIL to 0.6, singleton groups included
+    // (RunKBPEntityLinkerSystem.scala:180-186)
+    assert(got("m3") == ("NIL:c", 0.6))
     assert(got("m4") == ("KB001", 0.95)) // KB rows untouched
+    assert(got("m5") == ("NIL:e", 0.9)) // no alias row -> passes through unchanged
   }
 
   test("langId picks the language with most marker hits") {
