@@ -30,7 +30,9 @@ object Pipeline {
           aliasDict: Map[String, String],
           conf: GraftConf = GraftConf(),
           weights: PairWeights = PairWeights.default,
-          kbAnchors: Option[DataFrame] = None): Result = {
+          kbAnchors: Option[DataFrame] = None,
+          kb: Option[DataFrame] = None,
+          kbWeights: KbWeights = KbWeights.default): Result = {
     import spark.implicits._
 
     // mentions feed four consumers (blocking, both scoring joins, CC nodes)
@@ -39,6 +41,14 @@ object Pipeline {
     // what runCheckpointed gets from its stage tables
     val mentions = Mentions.prepare(spark, files, aliasDict, conf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // mention→KB candidate linking (the reference's flagship op): anchors
+    // either passed in directly or built from a KB entity table
+    val anchors = kbAnchors.orElse(kb.map { k =>
+      val kbVec =
+        if (k.columns.contains("intro")) KbLink.introVectors(k, "intro") else k
+      KbLink.anchors(mentions, kbVec, kbWeights, conf)
+    })
 
     val blocked = Blocking(mentions, conf)
     val pairs = Blocking.candidatePairs(blocked.blocks, conf)
@@ -51,7 +61,7 @@ object Pipeline {
     // iterative closure reruns per downstream action
     val components = ConnectedComponents.run(mentions.select($"id"), edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val decisions = Decisions.assemble(components, accepted, kbAnchors, conf.linkThreshold)
+    val decisions = Decisions.assemble(components, accepted, anchors, conf.linkThreshold)
 
     Result(mentions, blocked.blocks, blocked.overflow, pairs, scored, components, decisions)
   }
@@ -64,20 +74,30 @@ object Pipeline {
                       checkpointRoot: String,
                       conf: GraftConf = GraftConf(),
                       weights: PairWeights = PairWeights.default,
-                      kbAnchors: Option[DataFrame] = None): Result = {
+                      kbAnchors: Option[DataFrame] = None,
+                      kb: Option[DataFrame] = None,
+                      kbWeights: KbWeights = KbWeights.default): Result = {
     import spark.implicits._
     val cp = new Checkpoint(spark, checkpointRoot)
     // hash covers EVERYTHING that changes stage outputs: conf, weights, the
     // alias dictionary, and an input fingerprint (row count + schema — cheap:
     // parquet metadata only). Rerunning against the same checkpoint root with
     // a different dictionary or input must not silently reuse stale stages.
-    val h = Checkpoint.hash(conf, weights,
+    val h = Checkpoint.hash(conf, weights, kbWeights,
       aliasDict.toSeq.sorted.mkString(","),
-      files.count(), files.schema.catalogString)
+      files.count(), files.schema.catalogString,
+      kb.map(_.count()).getOrElse(0L))
 
     val mentions = cp.getOrCompute("mentions", h, Seq("files")) {
       Mentions.prepare(spark, files, aliasDict, conf)
     }
+    val anchors = kbAnchors.orElse(kb.map { k =>
+      cp.getOrCompute("kb_anchors", h, Seq("mentions")) {
+        val kbVec =
+          if (k.columns.contains("intro")) KbLink.introVectors(k, "intro") else k
+        KbLink.anchors(mentions, kbVec, kbWeights, conf)
+      }
+    })
     val blocks = cp.getOrCompute("blocks", h, Seq("mentions")) {
       Blocking(mentions, conf).blocks
     }
@@ -94,7 +114,7 @@ object Pipeline {
     }
     val decisions = cp.getOrCompute("decisions", h, Seq("components")) {
       Decisions.assemble(components,
-        scored.where($"score" > conf.linkThreshold), kbAnchors, conf.linkThreshold)
+        scored.where($"score" > conf.linkThreshold), anchors, conf.linkThreshold)
     }
     val pairs = scored.select($"leftId", $"rightId", $"blockKey")
     Result(mentions, blocks, overflow, pairs, scored, components, decisions)

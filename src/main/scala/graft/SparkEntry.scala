@@ -18,12 +18,14 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Flagship: full blocking → scoring → CC → decisions run on the synthetic
-    * repo-file corpus; driver smoke-checks rows > 0.
+  /** Flagship: full KB-link → blocking → scoring → CC → decisions run on the
+    * synthetic repo-file corpus; driver smoke-checks rows > 0. KB-anchored
+    * clusters carry real E* ids; the rest get NIL ids.
     */
   def entry(spark: SparkSession): DataFrame = {
     val files = SynthCorpus.corpus(spark)
-    Pipeline.run(spark, files, SynthCorpus.aliasDict).decisions
+    Pipeline.run(spark, files, SynthCorpus.aliasDict,
+      kb = Some(SynthCorpus.kb(spark))).decisions
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -471,9 +473,33 @@ object SparkEntry {
       ConnectedComponents.run(docs.select($"id"), edges)
         .groupBy($"component").agg(count(lit(1)).as("members"))
     }),
-    // full pipeline on the synthetic corpus (smoke within queries)
+    // full pipeline on the synthetic corpus (smoke within queries), with the
+    // KB stage on: decisions carry real E* ids for anchored families
     "q_pipeline_decisions" -> ((s, _) => {
-      Pipeline.run(s, SynthCorpus.corpus(s), SynthCorpus.aliasDict).decisions
+      Pipeline.run(s, SynthCorpus.corpus(s), SynthCorpus.aliasDict,
+        kb = Some(SynthCorpus.kb(s))).decisions
+    }),
+    // B1 KB half — mention→KB candidate linking (the reference flagship,
+    // RunKBPEntityLinkerSystem.scala:56-128): mentions from part names, KB =
+    // a deterministic 2/3 subset of distinct names; exact + prefix-4 keys,
+    // jw/lev/overlap/abbr features, window top-1, accept above logit
+    // threshold or on exact title. Oracle compares the LINEAR logit z
+    // (bit-exact arithmetic), not σ(z), to dodge cross-engine exp() drift.
+    "q_kb_link" -> ((s, d) => {
+      import s.implicits._
+      val p = t(s, d, "part")
+      val mentions = p.select($"p_partkey".cast("string").as("id"),
+        $"p_name".as("entityString"),
+        array($"p_name").as("names"),
+        array(Mentions.initialism($"p_name")).as("abbrs"))
+      val kb = p.groupBy($"p_name").agg(min($"p_partkey").as("mk"))
+        .where($"mk" % 3 =!= 0)
+        .select(concat(lit("E"), lpad($"mk".cast("string"), 6, "0")).as("kbId"),
+          $"p_name".as("kbName"))
+      KbLink.link(mentions, kb, conf = GraftConf(prefixLen = 4))
+        .select($"id".cast("long").as("id"), $"kbId", $"kbName",
+          round($"z", 6).as("z"), $"exactTitle", $"accepted")
+        .orderBy($"id")
     })
   )
 
@@ -757,6 +783,48 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q_kb_link" ->
+      """WITH m AS (
+        |  SELECT p_partkey AS id, p_name AS es,
+        |    regexp_replace(lower(p_name), '[^a-z0-9]', '', 'g') AS nrm,
+        |    lower(array_to_string(list_transform(
+        |      string_split_regex(p_name, '[\s/_-]+'), w -> w[1]), '')) AS abbr
+        |  FROM part),
+        |kb AS (
+        |  SELECT 'E' || lpad(CAST(min(p_partkey) AS VARCHAR), 6, '0') AS kbId,
+        |    p_name AS kbName,
+        |    regexp_replace(lower(p_name), '[^a-z0-9]', '', 'g') AS knrm,
+        |    lower(array_to_string(list_transform(
+        |      string_split_regex(p_name, '[\s/_-]+'), w -> w[1]), '')) AS kabbr
+        |  FROM part GROUP BY p_name HAVING min(p_partkey) % 3 != 0),
+        |mkeys AS (
+        |  SELECT id, 'n:' || nrm AS key FROM m
+        |  UNION SELECT id, 'p:' || substr(nrm, 1, 4) FROM m),
+        |kkeys AS (
+        |  SELECT kbId, 'n:' || knrm AS key FROM kb
+        |  UNION SELECT kbId, 'p:' || substr(knrm, 1, 4) FROM kb),
+        |cand AS (SELECT DISTINCT mk.id, kk.kbId
+        |         FROM mkeys mk JOIN kkeys kk USING (key)),
+        |feats AS (
+        |  SELECT c.id, c.kbId, kb.kbName,
+        |    jaro_winkler_similarity(m.es, kb.kbName) AS jw,
+        |    CASE WHEN levenshtein(m.es, kb.kbName) > 16 THEN 0.0
+        |         ELSE 1.0 - levenshtein(m.es, kb.kbName)
+        |           / greatest(length(m.es), length(kb.kbName), 1) END AS lev,
+        |    CAST(m.nrm = kb.knrm AS DOUBLE) AS ov,
+        |    CAST(m.abbr = kb.kabbr AS DOUBLE) AS ab,
+        |    (m.nrm = kb.knrm) AS exact
+        |  FROM cand c JOIN m ON c.id = m.id JOIN kb ON c.kbId = kb.kbId),
+        |zz AS (
+        |  SELECT *, -10.0 + 8.0*jw + 4.0*lev + 2.0*ov + 1.0*ab + 4.0*0.0 AS z
+        |  FROM feats),
+        |top1 AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY id ORDER BY z DESC, kbId) AS rn FROM zz)
+        |  WHERE rn = 1)
+        |SELECT id, kbId, kbName, round(z, 6) AS z, exact AS exactTitle,
+        |  (z > ln(0.93/0.07) OR exact) AS accepted
+        |FROM top1 ORDER BY id""".stripMargin,
     "q_alias_expand" ->
       """WITH base AS (
         |  SELECT p_partkey,

@@ -50,6 +50,18 @@ final case class ScoredPair(
     score: Double // logistic score (G1)
 )
 
+/** A KB entity — reference EntityInfo + the six KB maps collapsed into one
+  * dimension table (WikiMappingHelper.scala:114-204, KBPQuery.scala:144-175):
+  * canonical name, aliases (wikiMap surface forms), type, intro text.
+  */
+final case class KbEntity(
+    kbId: String, // E%06d-style id (reference KB node ids)
+    kbName: String, // canonical title (kbIdToTitleMap)
+    kbType: String, // wikiType / structuredType collapsed
+    aliases: Seq[String], // surface forms mapping to this id (wikiMap)
+    intro: String // intro paragraph text (kbIdTextMap)
+)
+
 /** A connected-component assignment (node -> component root). */
 final case class Component(id: String, component: String)
 

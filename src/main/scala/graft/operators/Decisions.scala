@@ -29,23 +29,32 @@ object Decisions {
   }
 
   /** components: (id, component); scored accepted edges: (leftId, rightId,
-    * score); optional kbAnchors: (id, kbId). Returns (mentionId, clusterId,
-    * confidence).
+    * score); optional kbAnchors: (id, kbId[, kbScore]). Returns (mentionId,
+    * clusterId, confidence). When anchors carry a kbScore, it participates
+    * in the mention's best-incident-score max — the reference's KB-linked
+    * confidence comes from the link classifier score
+    * (RunKBPEntityLinkerSystem.scala:128, getConfidence(t, score)).
     */
   def assemble(components: DataFrame, acceptedEdges: DataFrame,
                kbAnchors: Option[DataFrame], threshold: Double): DataFrame = {
     val spark = components.sparkSession
     import spark.implicits._
 
-    // best incident score per mention (two narrow unions + one hash agg)
-    val incident = acceptedEdges.select($"leftId".as("id"), $"score")
+    // best incident score per mention (narrow unions + one hash agg);
+    // KB anchor scores count as incident evidence
+    val edgeScores = acceptedEdges.select($"leftId".as("id"), $"score")
       .union(acceptedEdges.select($"rightId".as("id"), $"score"))
-      .groupBy($"id").agg(max($"score").as("best"))
+    val allScores = kbAnchors match {
+      case Some(kb) if kb.columns.contains("kbScore") =>
+        edgeScores.union(kb.select($"id", $"kbScore".as("score")))
+      case _ => edgeScores
+    }
+    val incident = allScores.groupBy($"id").agg(max($"score").as("best"))
 
     // component -> cluster id (KB id if any member is anchored)
     val compIds = kbAnchors match {
       case Some(kb) =>
-        components.join(kb, Seq("id"), "left")
+        components.join(kb.select($"id", $"kbId"), Seq("id"), "left")
           .groupBy($"component")
           .agg(min($"kbId").as("anchor"))
           .withColumn("clusterId",

@@ -1,0 +1,257 @@
+package graft.operators
+
+import graft.functions.StringSim.jaro_winkler
+import graft.functions.VecFunctions.sorted_vec_dot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Logistic weights for the mention→KB link classifier (reference G1:
+  * LinkClassifier.scala:19-25, active feature set candidateScore +
+  * docSimScore, LinkFeatures.scala:175). Re-derived over our feature stack:
+  * candidateScore ≈ string similarity (jw/lev/overlap/abbr), docSimScore ≈
+  * context-vector cosine against the KB intro text (S5 intro paragraphs).
+  */
+final case class KbWeights(
+    bias: Double,
+    jw: Double,
+    lev: Double,
+    overlap: Double,
+    abbrMatch: Double,
+    cosine: Double)
+
+object KbWeights {
+  /** Calibrated so an exact normalized-name match scores σ(4.0) ≈ 0.982 >
+    * the 0.93 accept threshold, a one-edit typo without context support
+    * stays below it, and context cosine ≥ ~0.55 lifts a close string match
+    * over the bar — mirroring the reference where candidateScore alone links
+    * exact aliases and docSimScore arbitrates ambiguous ones.
+    */
+  val default: KbWeights = KbWeights(
+    bias = -10.0, jw = 8.0, lev = 4.0, overlap = 2.0, abbrMatch = 1.0, cosine = 4.0)
+}
+
+/** Mention→KB candidate linking — the reference's flagship operation
+  * (RunKBPEntityLinkerSystem.scala:56-128: `linker.getBestEntity(entityString,
+  * context)` → `linkClassifier.score` → accept above 0.93 → fallbacks), as a
+  * broadcast-join + window-top-1 plan:
+  *
+  *   mentions ×(exploded name keys) broadcast(KB) → candidate (id, kbId)
+  *   → feature columns (all codegen: jaro_winkler, bounded levenshtein,
+  *     array overlap, sorted_vec_dot) → linear logit z → σ(z)
+  *   → row_number top-1 per mention → accept z > logit(threshold) OR exact
+  *     normalized title match (the kbTitleToIdMap fallback at conf 0.8,
+  *     RunKBPEntityLinkerSystem.scala:75-80)
+  *
+  * The KB side is the small dimension (north_rule J1: broadcast the KB/alias
+  * dictionary); candidate fan-out per mention is bounded by the number of KB
+  * entities sharing a name key, so the plan never goes quadratic. At 100 TB
+  * the mention side streams map-side through the broadcast hash join — no
+  * shuffle of the corpus at all until the (tiny) per-mention top-1 window,
+  * which shuffles only (id, kbId, z) rows.
+  */
+object KbLink {
+
+  /** Blocking keys for a (mention or KB) name: exact normalized form plus a
+    * normalized prefix (B1 reframing — Crosswikis alias lookup becomes a
+    * key-equality join).
+    */
+  def nameKeys(c: Column, prefixLen: Int): Column = {
+    val n = Mentions.normName(c)
+    array_distinct(array(
+      concat(lit("n:"), n),
+      concat(lit("p:"), substring(n, 1, prefixLen))))
+  }
+
+  /** KB side of the key join: keys from the canonical name plus every alias
+    * (S4 wikiMap: many surface names → one KB id).
+    */
+  private def kbKeyed(kb: DataFrame, prefixLen: Int): DataFrame = {
+    val withAliases =
+      if (kb.columns.contains("aliases")) kb
+      else kb.withColumn("aliases", array().cast("array<string>"))
+    withAliases.select(col("kbId"),
+      explode(array_distinct(concat(
+        nameKeys(col("kbName"), prefixLen),
+        flatten(transform(coalesce(col("aliases"), array().cast("array<string>")),
+          a => nameKeys(a, prefixLen)))))).as("key"))
+  }
+
+  /** Candidate (mentionId, kbId) pairs: exploded-key equi-join against the
+    * broadcast KB, deduplicated across keys.
+    */
+  def candidates(mentions: DataFrame, kb: DataFrame,
+                 conf: GraftConf = GraftConf()): DataFrame = {
+    val mKeys = mentions.select(col("id"),
+      explode(nameKeys(col("entityString"), conf.prefixLen)).as("key"))
+    mKeys.join(broadcast(kbKeyed(kb, conf.prefixLen)), "key")
+      .select(col("id"), col("kbId")).distinct()
+  }
+
+  /** Score candidates and pick the best KB entity per mention.
+    *
+    * Output: (id, kbId, kbName, z, kbScore, exactTitle, accepted, confidence).
+    * `z` is the linear logit (exactly reproducible arithmetic — the oracle
+    * compares on z, not on σ(z), to avoid cross-engine `exp` ulp drift);
+    * `kbScore` = σ(z). Acceptance: z > logit(threshold) (≡ score > threshold)
+    * OR exact normalized title match; confidence = F11 map for scored links,
+    * 0.8 for title-only fallback links (reference :75-80).
+    *
+    * Context cosine (docSimScore analogue) participates iff BOTH sides carry
+    * vectors: mentions (vecH, vecW) from Mentions.prepare and kb
+    * (introVecH, introVecW) from `introVectors`.
+    */
+  def link(mentions: DataFrame, kb: DataFrame,
+           w: KbWeights = KbWeights.default,
+           conf: GraftConf = GraftConf()): DataFrame = {
+    val hasVec = mentions.columns.contains("vecH") && kb.columns.contains("introVecH")
+
+    val mCols = Seq(col("id"), col("entityString"), col("names"), col("abbrs")) ++
+      (if (hasVec) Seq(col("vecH"), col("vecW")) else Nil)
+    val m = mentions.select(mCols: _*)
+
+    val kbNames0 =
+      if (kb.columns.contains("aliases"))
+        array_union(array(col("kbName")), coalesce(col("aliases"), array().cast("array<string>")))
+      else array(col("kbName"))
+    val kbCols = Seq(col("kbId"), col("kbName"), kbNames0.as("kbNames")) ++
+      (if (hasVec) Seq(col("introVecH"), col("introVecW")) else Nil)
+    val kbSide = kb.select(kbCols: _*)
+
+    val joined = candidates(m, kb, conf)
+      .join(m, "id")
+      .join(broadcast(kbSide), "kbId")
+
+    val levRaw = levenshtein(col("entityString"), col("kbName"), conf.levBound)
+    val maxLen = greatest(length(col("entityString")), length(col("kbName")), lit(1))
+    val norm = (c: Column) => Mentions.normName(c)
+
+    val feats = joined
+      .withColumn("jw", jaro_winkler(col("entityString"), col("kbName")))
+      .withColumn("lev",
+        when(levRaw < 0, lit(0.0)).otherwise(lit(1.0) - levRaw / maxLen))
+      .withColumn("overlap",
+        arrays_overlap(transform(col("names"), norm), transform(col("kbNames"), norm)))
+      .withColumn("abbr",
+        arrays_overlap(transform(col("abbrs"), a => lower(a)),
+          array(lower(Mentions.initialism(col("kbName"))))))
+      .withColumn("cosine",
+        if (hasVec)
+          coalesce(sorted_vec_dot(col("vecH"), col("vecW"),
+            col("introVecH"), col("introVecW")), lit(0.0))
+        else lit(0.0))
+
+    val z = lit(w.bias) +
+      lit(w.jw) * col("jw") +
+      lit(w.lev) * col("lev") +
+      lit(w.overlap) * col("overlap").cast("double") +
+      lit(w.abbrMatch) * col("abbr").cast("double") +
+      lit(w.cosine) * col("cosine")
+    val zThreshold = math.log(conf.linkThreshold / (1.0 - conf.linkThreshold))
+
+    val top1 = Window.partitionBy(col("id")).orderBy(col("z").desc, col("kbId"))
+    feats
+      .withColumn("z", z)
+      .withColumn("rn", row_number().over(top1))
+      .where(col("rn") === 1)
+      .withColumn("exactTitle", norm(col("entityString")) === norm(col("kbName")))
+      .withColumn("accepted", col("z") > lit(zThreshold) || col("exactTitle"))
+      .withColumn("kbScore", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+      .withColumn("confidence",
+        when(col("z") > lit(zThreshold),
+          Decisions.confidence(col("kbScore"), conf.linkThreshold))
+          .otherwise(lit(0.8))) // title-only fallback, reference conf 0.8
+      .select(col("id"), col("kbId"), col("kbName"), col("z"), col("kbScore"),
+        col("exactTitle"), col("accepted"), col("confidence"))
+  }
+
+  /** Accepted anchors only — the `kbAnchors` frame Pipeline/Decisions expect:
+    * (id, kbId, kbScore).
+    */
+  def anchors(mentions: DataFrame, kb: DataFrame,
+              w: KbWeights = KbWeights.default,
+              conf: GraftConf = GraftConf()): DataFrame =
+    link(mentions, kb, w, conf)
+      .where(col("accepted"))
+      .select(col("id"), col("kbId"), col("kbScore"))
+
+  /** A8 — back-off re-linking (RunKBPEntityLinkerSystem.scala:83-108),
+    * composed from P5 + the candidate join + an argmax window: for mentions
+    * the main pass did NOT accept, whose expanded string is ≥ 2 words longer
+    * than the name and comma/period-free, try every back-off substring,
+    * keep the argmax-z candidate, accept above threshold or on exact KB name
+    * match. Returns extra anchor rows (id, kbId, kbScore) disjoint from
+    * `accepted`.
+    */
+  def backoffAnchors(mentions: DataFrame, accepted: DataFrame, kb: DataFrame,
+                     w: KbWeights = KbWeights.default,
+                     conf: GraftConf = GraftConf()): DataFrame = {
+    val eligible = mentions
+      .join(accepted.select(col("id")), Seq("id"), "left_anti")
+      .where(size(split(col("entityString"), "\\s+")) >=
+        size(split(col("name"), "\\s+")) + 2 &&
+        !col("entityString").contains(",") && !col("entityString").contains("."))
+      .select(col("id"), col("names"), col("abbrs"),
+        explode(Aliases.backoffStrings(col("name"), col("entityString")))
+          .as("entityString"))
+
+    val zThreshold = math.log(conf.linkThreshold / (1.0 - conf.linkThreshold))
+    val scored = link(eligible, kb, w, conf) // top-1 per (id) across back-offs:
+    // link() windows per id, and eligible repeats id per back-off string, so
+    // its row_number already selects the argmax over all back-off candidates.
+    scored
+      .where(col("z") > lit(zThreshold) || col("exactTitle"))
+      .select(col("id"), col("kbId"), col("kbScore"))
+  }
+
+  /** C4 — type-conditional reroute (RunKBPEntityLinkerSystem.scala:131-147 +
+    * SportsHelperMethods.scala:36-56): for mentions where `gate` holds AND
+    * the accepted anchor's KB type is `fromType`, re-scan that mention's
+    * candidates for the best entity typed `toType` above threshold — take it
+    * at confidence 0.7; if none qualifies, drop the anchor (the mention
+    * becomes a fresh NIL at the decision stage, reference conf 0.5).
+    * Requires kb to carry `kbType`.
+    */
+  def typeReroute(mentions: DataFrame, anchorsDf: DataFrame, kb: DataFrame,
+                  gate: Column, fromType: String, toType: String,
+                  w: KbWeights = KbWeights.default,
+                  conf: GraftConf = GraftConf()): DataFrame = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+
+    val gated = mentions.where(gate).select(col("id"))
+    val types = kb.select(col("kbId"), col("kbType"))
+    // anchors whose linked entity is fromType AND whose mention is gated
+    val toFix = anchorsDf
+      .join(broadcast(types), "kbId")
+      .join(gated, Seq("id"))
+      .where(col("kbType") === fromType)
+      .select(col("id"))
+
+    val zThreshold = math.log(conf.linkThreshold / (1.0 - conf.linkThreshold))
+    // re-query: candidates restricted to toType, best above threshold
+    val rerouted = link(
+      mentions.join(toFix, Seq("id")),
+      kb.where(col("kbType") === toType), w, conf)
+      .where(col("z") > lit(zThreshold))
+      .select(col("id"), col("kbId"), lit(0.7).as("kbScore")) // reference conf .7
+
+    anchorsDf.join(toFix, Seq("id"), "left_anti") // drop gated fromType anchors
+      .unionByName(rerouted) // re-add only those that found a typed entity
+  }
+
+  /** Uniform-weight hashed term vectors for KB intro text (the docSimScore
+    * side, LinkFeatures docSim over intro paragraphs): same xxhash64 term
+    * space as Mentions.tfidfVectors so `sorted_vec_dot` aligns, weights
+    * 1/√n (unit L2). Adds (introVecH, introVecW).
+    */
+  def introVectors(kb: DataFrame, introCol: String): DataFrame = {
+    val toks = array_distinct(filter(
+      split(lower(col(introCol)), "[^a-z0-9]+"), t => length(t) > 0))
+    kb
+      .withColumn("introVecH", sort_array(transform(toks, t => xxhash64(t))))
+      .withColumn("introVecW",
+        transform(col("introVecH"),
+          _ => lit(1.0) / sqrt(size(col("introVecH")).cast("double"))))
+  }
+}

@@ -134,4 +134,43 @@ object SynthCorpus {
       .map { case (f, g) => GoldRow(s"${f.repo}/${f.path}@${f.commit}", g) }
       .toDF()
   }
+
+  private val kbTypes = Vector("software", "database", "team")
+
+  /** Canonical name of family f (same derivation `row` uses). */
+  def canonicalOf(f: Int): String =
+    canonicalNames(f % canonicalNames.length) +
+      (if (f >= canonicalNames.length) s"${f / canonicalNames.length}" else "")
+
+  /** Small KB entity table (plays the reference's KB + wikiMap + intro-text
+    * maps, KBPQuery.scala:144-175): one entity per family — canonical name,
+    * aliases, a type, and an intro paragraph built from the family
+    * vocabulary so the intro's term vector is cosine-close to the family's
+    * file contents (the docSimScore signal). Driver-side Seq is fine: the KB
+    * is the broadcast dimension (|KB| ≪ |mentions|).
+    */
+  def kb(spark: SparkSession, families: Int = 20): DataFrame = {
+    import spark.implicits._
+    (0 until families).map { f =>
+      val canonical = canonicalOf(f)
+      graft.model.KbEntity(
+        kbId = f"E$f%06d",
+        kbName = canonical,
+        kbType = kbTypes(f % kbTypes.length),
+        aliases = inverseAlias.getOrElse(canonical, Vector.empty),
+        intro = s"project $canonical ${famVocab(f).mkString(" ")}")
+    }.toDF()
+  }
+
+  /** Gold mention→KB link: every member of family f belongs to entity
+    * E%06d (for the KB-linking F1 gate and the B³ b3Correct clause).
+    */
+  def goldKb(spark: SparkSession, families: Int = 20, variants: Int = 8,
+             seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    rows(families, variants, seed).map { case (file, g) =>
+      val f = g.stripPrefix("FAM").toInt
+      (s"${file.repo}/${file.path}@${file.commit}", f"E$f%06d")
+    }.toDF("id", "goldKbId")
+  }
 }
