@@ -51,7 +51,12 @@ object Pipeline {
     })
 
     val blocked = Blocking(mentions, conf)
-    val pairs = Blocking.candidatePairs(blocked.blocks, conf)
+    val rawPairs = Blocking.candidatePairs(blocked.blocks, conf)
+    // P4 precision guard (opt-in): context vocabulary must contain the
+    // other side's name
+    val pairs =
+      if (conf.contextFilter) Blocking.contextContainmentFilter(rawPairs, mentions)
+      else rawPairs
     val scored = Scoring.score(pairs, mentions, weights, conf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

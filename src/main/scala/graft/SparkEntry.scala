@@ -418,11 +418,19 @@ object SparkEntry {
       Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text")
         .groupBy($"dupGroup").agg(count(lit(1)).as("members"))
     }),
-    // LSH ANN top-k (scale path of q_embed_topk)
+    // LSH ANN top-k, self-checking (scale path of q_embed_topk): per-probe
+    // recall vs the exact brute-force top-k — the rows make a recall
+    // collapse visible even under a rows-only check
     "q_lsh_topk" -> ((s, d) => {
       import s.implicits._
       val e = t(s, d, "embeddings")
-      SimilaritySearch.lshTopK(e, e.where($"vec_id" < 3), "vec_id", "embedding", 5)
+      // this table is near-isotropic (top-5 cosines ~0.26-0.37), the hardest
+      // regime for cosine LSH — few planes + many tables is what reaches
+      // recall >= 0.9 there; clustered corpora use more planes (DedupSpec)
+      SimilaritySearch.lshRecall(e, e.where($"vec_id" < 3), "vec_id", "embedding", 5,
+          planes = 4, tables = 8, probeBits = 2)
+        .select($"qid", $"n_exact", $"n_hit", round($"recall", 4).as("recall"))
+        .orderBy($"qid")
     }),
     // quality + fingerprint text analysis bundle
     "q_text_analysis" -> ((s, d) => {
@@ -472,6 +480,52 @@ object SparkEntry {
         .select($"src", $"dst")
       ConnectedComponents.run(docs.select($"id"), edges)
         .groupBy($"component").agg(count(lit(1)).as("members"))
+    }),
+    // P4 context-containment pair filter (MentionPairTrainingData.scala:57-70):
+    // blocked pairs admitted only if one side's token vocabulary contains the
+    // other's name as a substring
+    "q_pair_filter" -> ((s, d) => {
+      import s.implicits._
+      // lpad the string id so lexicographic l<r == numeric order (ids are
+      // strings in the operator contract; the oracle compares numerically)
+      val m = t(s, d, "documents").select(
+        lpad($"doc_id".cast("string"), 6, "0").as("id"), $"source",
+        array(split($"text", " ").getItem(0)).as("names"),
+        array_distinct(split(lower($"text"), " ")).as("vocab"))
+      val l = m.select($"source", $"id".as("leftId"))
+      val r = m.select($"source", $"id".as("rightId"))
+      val pairs = l.join(r, Seq("source"))
+        .where($"leftId" < $"rightId")
+        .select($"leftId", $"rightId")
+      Blocking.contextContainmentFilter(pairs, m)
+        .select($"leftId".cast("long").as("l_id"), $"rightId".cast("long").as("r_id"))
+        .orderBy($"l_id", $"r_id")
+    }),
+    // A5 proximity sort (CorefHelperMethods.scala:243-260): candidates
+    // ordered by min positive occurrence distance before the mention offset
+    "q_proximity" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select($"doc_id", $"text",
+          (length($"text") / 2).cast("int").as("off"),
+          array(split($"text", " ").getItem(2), split($"text", " ").getItem(5),
+            split($"text", " ").getItem(9)).as("cands"))
+      docs.select($"doc_id",
+          array_join(Aliases.proximitySort($"text", $"off", $"cands"), ",").as("sorted"))
+        .orderBy($"doc_id")
+    }),
+    // G11 threshold finder (LinkClassifier.scala:36-86): per-fold max-F1
+    // threshold over ranked scores (deterministic fold = id % 10)
+    "q_threshold" -> ((s, d) => {
+      import s.implicits._
+      val scored = t(s, d, "events")
+        .select($"event_id".as("id"), $"value".as("score"),
+          ($"event_type" === "click").as("label"),
+          ($"event_id" % 10).cast("int").as("fold"))
+      Reports.bestThreshold(scored)
+        .select($"fold", round($"bestThreshold", 6).as("best_threshold"),
+          round($"bestF1", 6).as("best_f1"))
+        .orderBy($"fold")
     }),
     // full pipeline on the synthetic corpus (smoke within queries), with the
     // KB stage on: decisions carry real E* ids for anchored families
@@ -783,6 +837,76 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q_pair_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id, source, lower(string_split(text, ' ')[1]) AS name,
+        |    list_distinct(string_split(lower(text), ' ')) AS vocab
+        |  FROM documents)
+        |SELECT l.doc_id AS l_id, r.doc_id AS r_id
+        |FROM m l JOIN m r ON l.source = r.source AND l.doc_id < r.doc_id
+        |WHERE len(list_filter(l.vocab, t -> contains(t, r.name))) > 0
+        |   OR len(list_filter(r.vocab, t -> contains(t, l.name))) > 0
+        |ORDER BY 1, 2""".stripMargin,
+    "q_proximity" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(length(text) // 2 AS INT) AS off,
+        |    list_distinct([string_split(text, ' ')[3], string_split(text, ' ')[6],
+        |      string_split(text, ' ')[10]]) AS cands
+        |  FROM documents),
+        |u AS (SELECT doc_id, text, off, unnest(cands) AS c FROM d),
+        |dist AS (
+        |  SELECT doc_id, c,
+        |    CASE WHEN strpos(reverse(substr(text, 1, off + length(c) - 1)), reverse(c)) > 0
+        |         THEN CAST(strpos(reverse(substr(text, 1, off + length(c) - 1)),
+        |                          reverse(c)) AS BIGINT)
+        |         ELSE CAST(length(text) AS BIGINT) END AS dd
+        |  FROM u)
+        |SELECT doc_id, array_to_string(array_agg(c ORDER BY dd, c), ',') AS sorted
+        |FROM dist GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_threshold" ->
+      """WITH scored AS (
+        |  SELECT event_id AS id, value AS score, event_type = 'click' AS label,
+        |    CAST(event_id % 10 AS INT) AS fold
+        |  FROM events),
+        |ranked AS (
+        |  SELECT fold, score,
+        |    count(*) OVER w AS rank,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END) OVER w AS tp,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END) OVER (PARTITION BY fold) AS npos
+        |  FROM scored
+        |  WINDOW w AS (PARTITION BY fold ORDER BY score DESC, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT fold, score, CAST(tp AS DOUBLE) / rank AS prec,
+        |    CAST(tp AS DOUBLE) / greatest(npos, 1) AS rec
+        |  FROM ranked),
+        |ff AS (SELECT fold, score,
+        |    CASE WHEN prec + rec = 0 THEN 0.0
+        |         ELSE 2.0 * prec * rec / (prec + rec) END AS f1 FROM f),
+        |best AS (SELECT fold, f1, score FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY fold ORDER BY f1 DESC, score DESC) AS rn FROM ff)
+        |  WHERE rn = 1)
+        |SELECT fold, round(score, 6) AS best_threshold, round(f1, 6) AS best_f1
+        |FROM best ORDER BY fold""".stripMargin,
+    "q_connected_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id, source,
+        |    list_distinct(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |e0 AS (
+        |  SELECT l.id AS a, r.id AS b
+        |  FROM toks l JOIN toks r ON l.source = r.source AND l.id < r.id
+        |  WHERE CAST(len(list_intersect(l.t, r.t)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(l.t, r.t))) >= 0.5),
+        |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+        |reach AS (
+        |  SELECT id, id AS r FROM toks
+        |  UNION
+        |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a)
+        |SELECT component, count(*) AS members FROM (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_kb_link" ->
       """WITH m AS (
         |  SELECT p_partkey AS id, p_name AS es,

@@ -57,6 +57,32 @@ object Aliases {
       .otherwise(name)
   }
 
+  /** A5 — min positive distance of a candidate occurrence BEFORE the
+    * mention offset (CorefHelperMethods.scala:243-260): the reference scans
+    * every occurrence of the candidate in the raw doc and keeps
+    * min(offset − index) over indexes strictly before the offset, defaulting
+    * to the document length when none exists. Closed form without a scan
+    * loop: the nearest occurrence before the offset is the LAST occurrence
+    * inside the first (offset + len(cand) − 1) chars — found as the FIRST
+    * occurrence of reverse(cand) in the reversed prefix, whose 1-based
+    * position IS the distance.
+    */
+  def minDistanceBefore(doc: Column, offset: Column, cand: Column): Column = {
+    val prefixExt = doc.substr(lit(1), offset + length(cand) - 1)
+    val p = call_function("instr", reverse(prefixExt), reverse(cand))
+    when(p > 0, p.cast("long")).otherwise(length(doc).cast("long"))
+  }
+
+  /** A5 — proximity sort: candidates ascending by min positive distance
+    * before the mention offset; deterministic (distance, candidate)
+    * tie-break where the reference inherits HashMap iteration order.
+    */
+  def proximitySort(doc: Column, offset: Column, candidates: Column): Column =
+    transform(
+      array_sort(transform(array_distinct(candidates),
+        c => struct(minDistanceBefore(doc, offset, c).as("d"), c.as("c")))),
+      x => x("c"))
+
   /** C1/B2 — exact-alias NIL clustering (RunKBPEntityLinkerSystem
     * .scala:160-192): group NIL decisions by expanded alias, rewrite every
     * member — singletons included — to the group's min cluster id at

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Stage 2 — blocking (SURVEY.md §7 M2; reference candidate generation B1-B4,
@@ -81,5 +81,31 @@ object Blocking {
     coldPairs.unionByName(hotPairs)
       .groupBy($"leftId", $"rightId")
       .agg(min($"key").as("blockKey"))
+  }
+
+  /** P4 — context-containment pair filter (MentionPairTrainingData
+    * .scala:57-70), the reference's main precision guard before scoring:
+    * a pair is admitted only if one mention's context vocabulary has a
+    * token containing one of the other mention's (lowercased) surface
+    * names as a substring. `mentions` must carry (id, names:array<string>,
+    * vocab:array<string>, vocab lowercased). Two narrow equi-joins bring
+    * the vocab arrays onto the pairs; the predicate is per-row, no extra
+    * shuffle. The nested `exists` is CodegenFallback — acceptable in a
+    * filter stage that FOLLOWS blocking (bounded rows), unlike the scoring
+    * projection which stays codegen-clean.
+    */
+  def contextContainmentFilter(pairs: DataFrame, mentions: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val side = (idCol: String, p: String) => mentions.select(
+      $"id".as(idCol),
+      transform($"names", n => lower(n)).as(s"${p}Names"),
+      $"vocab".as(s"${p}Vocab"))
+    val contained = (vocab: Column, names: Column) =>
+      exists(vocab, t => exists(names, n => t.contains(n)))
+    pairs
+      .join(side("leftId", "l"), "leftId")
+      .join(side("rightId", "r"), "rightId")
+      .where(contained($"lVocab", $"rNames") || contained($"rVocab", $"lNames"))
+      .select(pairs.columns.map(col): _*)
   }
 }

@@ -19,12 +19,29 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: both steps avoid collect_list — `min(...) over (partition by
   * src)` window aggregations plus projections; every iteration is one shuffle
-  * on `src`. `localCheckpoint` per round cuts lineage so plans stay O(1) deep.
-  * Convergence when the edge set stops changing (count + bit_xor of row
-  * hashes — one cheap aggregate, no expensive except(); overflow-free under
-  * ANSI mode).
+  * on `src`. A per-partition union-find CONTRACTION runs first (the "local
+  * contraction" the CC-in-MapReduce literature recommends): each input
+  * partition's edges collapse to a spanning star (node → local min), so the
+  * star iteration starts from paths of length ≤ 2 per partition and
+  * converges in 2-3 rounds instead of O(log d) — the per-round fixed cost
+  * (one shuffle + one lineage cut + one convergence aggregate) dominates on
+  * small graphs and multiplies on big ones. Convergence when the edge set
+  * stops changing (count + bit_xor of row hashes — one cheap aggregate, no
+  * expensive except(); overflow-free under ANSI mode).
+  *
+  * Lineage cuts per round use a RELIABLE checkpoint when the session has a
+  * checkpoint dir configured (cluster runs: an executor loss mid-iteration
+  * then recovers from the checkpoint instead of killing the job), and fall
+  * back to eager `localCheckpoint` otherwise (local/test runs).
   */
 object ConnectedComponents {
+
+  /** Cut lineage: reliable checkpoint if `spark.sparkContext.setCheckpointDir`
+    * was called, else an eager local checkpoint.
+    */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
 
   /** edges: DataFrame(src: String, dst: String), undirected, self-loops ok.
     * nodes: DataFrame(id) — ensures isolated nodes appear in the output.
@@ -37,18 +54,18 @@ object ConnectedComponents {
     // Iterate over REAL edges only — isolated nodes (the vast majority in
     // dedup workloads) never enter the loop; they default to themselves in
     // the final left join. Iteration cost scales with |E|, not |V|.
-    var cur = edges.select($"src", $"dst")
+    val canonical = edges.select($"src", $"dst")
       .select(greatest($"src", $"dst").as("src"), least($"src", $"dst").as("dst"))
       .where($"src" =!= $"dst")
       .distinct()
-      .localCheckpoint(true)
+    var cur = cut(localContract(canonical))
 
     var converged = false
     var iter = 0
     var lastSig = signature(cur)
     while (!converged && iter < maxIter) {
       val afterLarge = largeStar(cur)
-      val afterSmall = smallStar(afterLarge).localCheckpoint(true)
+      val afterSmall = cut(smallStar(afterLarge))
       val sig = signature(afterSmall)
       converged = sig == lastSig
       lastSig = sig
@@ -64,6 +81,42 @@ object ConnectedComponents {
     nodes.select($"id")
       .join(assigned, Seq("id"), "left")
       .select($"id", coalesce($"comp", $"id").as("component"))
+  }
+
+  /** Per-partition union-find contraction: within each partition, collapse
+    * the edges to one spanning star per local component (every non-root node
+    * → the partition-local min). Narrow (no shuffle), memory ∝ distinct
+    * nodes per partition (edge partitions are size-bounded by the scan /
+    * previous shuffle, so the hash map is too). Output is equi-connected to
+    * the input: each partition's edge set is replaced by a spanning forest
+    * of the same local components, and cross-partition merges are exactly
+    * what the star iteration resolves. Output orientation matches the
+    * canonical form (src > dst, no self-loops).
+    */
+  private[operators] def localContract(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select($"src", $"dst").as[(String, String)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[String, String]
+        def find(x: String): String = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (s, d) =>
+          val rs = find(s); val rd = find(d)
+          if (rs != rd) { // union by min id => root is the component min
+            if (rs < rd) parent(rd) = rs else parent(rs) = rd
+          }
+        }
+        // one edge per non-root node: (node -> its local root); snapshot the
+        // key set first — find() path-compresses (updates values) mid-scan
+        parent.keys.toArray.iterator.map(n => (n, find(n)))
+      }
+      .toDF("src", "dst")
   }
 
   private def signature(edges: DataFrame): (Long, Long) = {

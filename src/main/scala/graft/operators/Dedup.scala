@@ -28,9 +28,16 @@ object Dedup {
       .select(col("id"), col("keeper"), col("copies"), col("h"))
   }
 
-  /** MinHash+LSH near-dup: shingle → minhash → band → bucket-join →
-    * verified Jaccard ≥ `threshold` edges → connected components.
-    * Returns (id, dupGroup).
+  /** MinHash+LSH near-dup: shingle → minhash → band → salted bucket pair
+    * generation → verified Jaccard ≥ `threshold` edges → connected
+    * components. Returns (id, dupGroup).
+    *
+    * Pair generation goes through `Blocking.candidatePairs` — NOT a raw
+    * bucket self-join: a hot band (boilerplate/license text shared by
+    * thousands of docs) would otherwise put an O(n²) pair expansion in a
+    * single shuffle key. The salted path spreads a hot bucket over
+    * S(S+1)/2 shuffle keys and dedups pairs found under several bands in
+    * the same aggregation it needs anyway.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  conf: GraftConf = GraftConf(), threshold: Double = 0.7): DataFrame = {
@@ -43,9 +50,8 @@ object Dedup {
       .withColumn("bands", minhash_bands($"shingles", conf.minHashes, conf.bands, conf.seed))
 
     val blocks = toks.select($"id", explode($"bands").as("key"))
-    val cand = blocks.as("l").join(blocks.as("r"),
-        $"l.key" === $"r.key" && $"l.id" < $"r.id")
-      .select($"l.id".as("leftId"), $"r.id".as("rightId")).distinct()
+    val cand = Blocking.candidatePairs(blocks, conf)
+      .select($"leftId", $"rightId")
 
     // verify candidates with exact shingle Jaccard
     val sides = toks.select($"id", $"shingles")
@@ -65,9 +71,14 @@ object Dedup {
   /** SimHash near-dup: 64-bit signature, candidates share one of 4 16-bit
     * chunks (≥1 chunk must be identical when hamming distance ≤ `maxHamming`
     * for maxHamming ≤ 3 by pigeonhole), verified by bit_count(xor) ≤ k.
+    *
+    * Chunk-key pair generation is salted via `Blocking.candidatePairs` —
+    * the all-zero / low-entropy chunk value is a guaranteed hot key on real
+    * corpora (VERDICT r1); signatures are joined back onto the deduped
+    * pairs as two narrow equi-joins.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-              maxHamming: Int = 3): DataFrame = {
+              maxHamming: Int = 3, conf: GraftConf = GraftConf()): DataFrame = {
     import df.sparkSession.implicits._
     val toks = df.select(
       col(idCol).cast("string").as("id"),
@@ -77,14 +88,13 @@ object Dedup {
     // 4 chunks of 16 bits: chunk i = bits [16i, 16i+16)
     val chunks = (0 until 4).map(i =>
       struct(lit(i).as("ci"), shiftright($"sig", i * 16).bitwiseAND(lit(0xFFFFL)).as("cv")))
-    val blocks = toks.select($"id", $"sig", explode(array(chunks: _*)).as("c"))
-      .select($"id", $"sig", concat($"c.ci", lit(":"), $"c.cv").as("key"))
+    val blocks = toks.select($"id", explode(array(chunks: _*)).as("c"))
+      .select($"id", concat($"c.ci", lit(":"), $"c.cv").as("key"))
 
-    val cand = blocks.as("l").join(blocks.as("r"),
-        $"l.key" === $"r.key" && $"l.id" < $"r.id")
-      .select($"l.id".as("leftId"), $"l.sig".as("lsig"),
-        $"r.id".as("rightId"), $"r.sig".as("rsig"))
-      .distinct()
+    val sigs = toks.select($"id", $"sig")
+    val cand = Blocking.candidatePairs(blocks, conf)
+      .join(sigs.select($"id".as("leftId"), $"sig".as("lsig")), "leftId")
+      .join(sigs.select($"id".as("rightId"), $"sig".as("rsig")), "rightId")
       .withColumn("hamming", bit_count($"lsig".bitwiseXOR($"rsig")))
       .where($"hamming" <= maxHamming)
 

@@ -42,10 +42,15 @@ object Evaluation {
     PairwiseScores(p, r, f1)
   }
 
-  /** B³ precision/recall/F1 (Benchmarker.scala:39-77): per mention, the
-    * fraction of its system-cluster (resp. gold-cluster) co-members that are
-    * correct; averaged over mentions. Expressed as two self-joins + hash
-    * aggregations — no per-cluster collect.
+  /** B³ precision/recall/F1 with the reference's `b3Correct` link-type
+    * clause (Benchmarker.scala:39-77): a co-member pair counts as correct
+    * iff same system set ∧ same gold set ∧ the SCORED mention's link types
+    * agree — when both its system and gold links are KB links (`E*`), the
+    * exact KB id must match; otherwise KB-vs-NIL must agree. The clause
+    * depends only on the scored mention (reference compares sysE1 vs
+    * goldE1), so it factors out as a per-mention 0/1 gate on its B³ term.
+    * Expressed as two self-joins + hash aggregations — no per-cluster
+    * collect.
     */
   def b3(sys: DataFrame, gold: DataFrame): B3Scores = {
     val spark = sys.sparkSession
@@ -53,18 +58,23 @@ object Evaluation {
     val m = sys.select($"mentionId".as("id"), $"clusterId")
       .join(gold.select($"id", $"gold"), "id")
 
+    // b3Correct link-type clause for the scored mention (left side)
+    val sysKb = $"lc".startsWith("E")
+    val goldKb = $"lg".startsWith("E")
+    val linkOk = when(sysKb && goldKb, $"lc" === $"lg").otherwise(sysKb === goldKb)
+
     val l = m.select($"id".as("lid"), $"clusterId".as("lc"), $"gold".as("lg"))
     val r = m.select($"id".as("rid"), $"clusterId".as("rc"), $"gold".as("rg"))
 
     // precision: pairs sharing a system cluster (incl. self-pairs)
     val prec = l.join(r, $"lc" === $"rc")
       .groupBy($"lid")
-      .agg(avg(when($"lg" === $"rg", 1.0).otherwise(0.0)).as("p"))
+      .agg(avg(when(($"lg" === $"rg") && linkOk, 1.0).otherwise(0.0)).as("p"))
       .agg(avg($"p")).head().getDouble(0)
     // recall: pairs sharing a gold cluster
     val rec = l.join(r, $"lg" === $"rg")
       .groupBy($"lid")
-      .agg(avg(when($"lc" === $"rc", 1.0).otherwise(0.0)).as("r"))
+      .agg(avg(when(($"lc" === $"rc") && linkOk, 1.0).otherwise(0.0)).as("r"))
       .agg(avg($"r")).head().getDouble(0)
     val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
     B3Scores(prec, rec, f1)

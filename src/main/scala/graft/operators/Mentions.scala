@@ -15,7 +15,9 @@ final case class GraftConf(
     saltThreshold: Int = 64, // blocks larger than this get salted pair generation
     saltBuckets: Int = 8, // salt fan-out: a hot key spreads over S(S+1)/2 shuffle keys
     seed: Long = 42L,
-    levBound: Int = 16 // bounded Levenshtein threshold (north_star)
+    levBound: Int = 16, // bounded Levenshtein threshold (north_star)
+    contextFilter: Boolean = false // P4 pair guard (opt-in, as in the reference
+    // where only the training-data path applies it — MentionPairTrainingData.scala:41-43)
 )
 
 /** Stage 1 — mention construction + alias expansion (SURVEY.md §7 M1).
@@ -84,7 +86,13 @@ object Mentions {
               aliasDict: Map[String, String], conf: GraftConf): DataFrame = {
     val base = build(spark, files, aliasDict, conf)
     val vecs = tfidfVectors(base.select(col("id"), col("tokens")), conf, files.count())
-    withBlockKeys(base, conf)
+    val keyed = withBlockKeys(base, conf)
+    // the P4 context filter needs the token vocabulary downstream; keep it
+    // (pruned to distinct tokens) only when the guard is on
+    val withVocab =
+      if (conf.contextFilter) keyed.withColumn("vocab", array_distinct(col("tokens")))
+      else keyed
+    withVocab
       .drop("content", "tokens", "repo", "path", "commit", "lang")
       .join(vecs, col("id") === col("vid"), "left").drop("vid")
   }
@@ -93,27 +101,26 @@ object Mentions {
     * vecW: array<double> aligned) computed against the corpus document
     * frequencies, from a (id, tokens) frame.
     *
-    * Shuffle economics at scale: term frequencies are computed IN-ROW from
-    * the tokens array (no (id, term) shuffle of one row per token); only the
-    * per-document DISTINCT terms are exploded — for the document-frequency
-    * aggregation (map-side combinable, output = vocabulary size) and the
-    * idf join. The final re-aggregation keys on id with narrow rows
-    * (id, h, tf·idf). The tf frame feeds BOTH the df aggregation and the
-    * idf join, so it is persisted for the duration and the result is
-    * materialized (lineage cut) — one tokenize pass total; on a cluster the
-    * checkpointed-stage variant gives the same single-pass property via the
-    * stage table.
+    * Shuffle economics at scale: tokens explode to (id, term) rows and
+    * aggregate to per-document term counts — the partial (map-side) hash
+    * aggregation combines duplicates BEFORE the shuffle, and every (id,
+    * term) pair of one document sits in one input partition, so the shuffle
+    * carries only the distinct (id, term, tf) rows (exactly what the old
+    * in-row variant shuffled) while the compute is a single linear pass.
+    * The previous in-row `size(filter(tokens, x === t))` per distinct term
+    * was O(distinct × length) per document — quadratic on real long files
+    * (r1 VERDICT scale-killer #2). The df aggregation and the idf join both
+    * reuse the persisted tf frame, and the result is materialized (lineage
+    * cut) — one tokenize pass total; on a cluster the checkpointed-stage
+    * variant gives the same single-pass property via the stage table.
     */
   def tfidfVectors(docs: DataFrame, conf: GraftConf, docCount: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
     val tf = docs
-      .select($"id",
-        explode(transform(array_distinct($"tokens"),
-          t => struct(t.as("term"),
-            size(filter($"tokens", x => x === t)).as("tf")))).as("e"))
-      .select($"id", $"e.term".as("term"), $"e.tf".as("tf"))
+      .select($"id", explode($"tokens").as("term"))
+      .groupBy($"id", $"term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))

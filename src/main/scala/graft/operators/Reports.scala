@@ -31,22 +31,104 @@ object Reports {
 
   /** G10 — precision-recall curve (LinkClassifier.scala:88-103): rank by
     * score desc, running precision, then suffix-max (the best precision
-    * achievable at each recall level). Window analytics, no collect.
+    * achievable at each recall level).
+    *
+    * Scale shape: a global `Window.orderBy` funnels the whole pair set
+    * through ONE task (r1 VERDICT scale-killer #1). Instead: range-partition
+    * on the sort key, run the running sums per partition, and stitch with
+    * per-partition prefix offsets (a #partitions-row driver exchange — the
+    * classic distributed prefix-sum). The suffix-max stitches the same way
+    * in reverse. Output is bit-identical to the single-window form (the
+    * sort key (score, leftId, rightId) is unique per row, so range
+    * boundaries never split ties).
     */
   def prCurve(scored: DataFrame): DataFrame = {
     import scored.sparkSession.implicits._
-    val byScore = Window.orderBy($"score".desc, $"leftId", $"rightId")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val suffix = Window.orderBy($"score".desc, $"leftId", $"rightId")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val spark = scored.sparkSession
+    val nParts = math.max(spark.sessionState.conf.numShufflePartitions / 2, 2)
+
     val nPos = scored.agg(sum(when($"label", 1L).otherwise(0L))).head().getLong(0)
-    scored
+    val parts = scored
+      .repartitionByRange(nParts, $"score".desc, $"leftId", $"rightId")
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val byScore = Window.partitionBy($"pid")
+      .orderBy($"score".desc, $"leftId", $"rightId")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val suffix = Window.partitionBy($"pid")
+      .orderBy($"score".desc, $"leftId", $"rightId")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    // per-partition totals -> prefix offsets (rank, tp) for each pid;
+    // #partitions rows through the driver, never the data
+    val totals = parts.groupBy($"pid")
+      .agg(count(lit(1)).as("n"), sum(when($"label", 1L).otherwise(0L)).as("p"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var rankOff = 0L
+    var tpOff = 0L
+    val offsets = totals.map { case (pid, n, p) =>
+      val row = (pid, rankOff, tpOff); rankOff += n; tpOff += p; row
+    }.toSeq.toDF("pid", "rankOff", "tpOff")
+
+    val local = parts
       .withColumn("rank", count(lit(1)).over(byScore))
       .withColumn("tp", sum(when($"label", 1L).otherwise(0L)).over(byScore))
+      .join(broadcast(offsets), "pid")
+      .withColumn("rank", $"rank" + $"rankOff")
+      .withColumn("tp", $"tp" + $"tpOff")
       .withColumn("precision", $"tp".cast("double") / $"rank")
       .withColumn("recall", $"tp".cast("double") / lit(math.max(nPos, 1L)))
-      .withColumn("precisionAtBest", max($"precision").over(suffix))
+      .withColumn("pBestLocal", max($"precision").over(suffix))
+
+    // suffix-max across partitions: per-pid max precision -> reverse prefix
+    // max on the driver -> "best precision in any LATER partition"
+    val pidMax = local.groupBy($"pid").agg(max($"precision").as("m"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(-_._1)
+    var later = Double.NegativeInfinity
+    val laterMax = pidMax.map { case (pid, m) =>
+      val row = (pid, later); later = math.max(later, m); row
+    }.toSeq.toDF("pid", "pBestLater")
+
+    local.join(broadcast(laterMax), "pid")
+      .withColumn("precisionAtBest", greatest($"pBestLocal", $"pBestLater"))
       .select($"rank", $"score", $"precision", $"recall", $"precisionAtBest")
+  }
+
+  /** G11 — threshold finder (LinkClassifier.scala:36-86): the reference runs
+    * 10 shuffled 90/10 splits, ranks each held-out set by score, and
+    * averages the max-F1 thresholds. Deterministic re-expression: folds come
+    * from a seeded hash of the id (not Random.shuffle), each fold's ranked
+    * running P/R/F1 is a fold-partitioned window (never a global one), and
+    * the per-fold threshold = score at max F1 with ties to the HIGHER
+    * threshold (the reference's stable sort + `.last`). Divergence: weights
+    * are given, not refit per split — our classifier is a closed-form
+    * column expression, so the split only measures threshold stability.
+    * Input columns: (id, score, label) (+ optional precomputed fold).
+    * Output: (fold, bestThreshold, bestF1) — avg() downstream for the
+    * reference's single number.
+    */
+  def bestThreshold(scored: DataFrame, folds: Int = 10): DataFrame = {
+    import scored.sparkSession.implicits._
+    val withFold =
+      if (scored.columns.contains("fold")) scored
+      else scored.withColumn("fold", pmod(xxhash64($"id"), lit(folds.toLong)).cast("int"))
+    val w = Window.partitionBy($"fold").orderBy($"score".desc, $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perFold = Window.partitionBy($"fold")
+    val ranked = withFold
+      .withColumn("rank", count(lit(1)).over(w))
+      .withColumn("tp", sum(when($"label", 1L).otherwise(0L)).over(w))
+      .withColumn("npos", sum(when($"label", 1L).otherwise(0L)).over(perFold))
+      .withColumn("prec", $"tp".cast("double") / $"rank")
+      .withColumn("rec", $"tp".cast("double") / greatest($"npos", lit(1L)))
+      .withColumn("f1",
+        when($"prec" + $"rec" === 0.0, 0.0)
+          .otherwise(lit(2.0) * $"prec" * $"rec" / ($"prec" + $"rec")))
+    ranked.groupBy($"fold")
+      .agg(max(struct($"f1", $"score")).as("b"))
+      .select($"fold", $"b.score".as("bestThreshold"), $"b.f1".as("bestF1"))
   }
 
   /** O6 — deterministic sampling (MentionPairTrainingData.scala:45-53):

@@ -43,6 +43,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("local contraction preserves connectivity across partition layouts") {
+    // long chain whose edges are scattered over many partitions: contraction
+    // collapses per-partition runs, the star iteration stitches across —
+    // result must match the single-partition answer exactly
+    val nodes = (0 until 300).map(i => f"c$i%03d")
+    val edges = (0 until 299).map(i => f"c$i%03d" -> f"c${i + 1}%03d")
+    val one = cc(nodes, edges)
+    val scattered = ConnectedComponents.run(
+      nodes.toDF("id"),
+      edges.toDF("src", "dst").repartition(17)) // arbitrary scatter
+      .as[(String, String)].collect().toMap
+    assert(one == scattered)
+    assert(one.values.toSet == Set("c000"))
+  }
+
   test("star graph converges in few iterations") {
     val nodes = (0 until 50).map(i => f"s$i%02d")
     val edges = (1 until 50).map(i => f"s00" -> f"s$i%02d")

@@ -31,6 +31,19 @@ class DedupSpec extends SparkSpec {
     assert(got("a") != got("c"), "distinct docs should not merge")
   }
 
+  test("hot band: hundreds of identical docs pair via the salted path") {
+    // 300 identical docs share EVERY minhash band -> each band bucket is a
+    // hot key far above saltThreshold(64); the salted pair generation must
+    // still produce the pairs (no cap drop, no single-task O(n²) key)
+    val body = (1 to 40).map(i => s"boiler$i").mkString(" ")
+    val rows = (0 until 300).map(i => (f"h$i%03d", body)) :+ (("zzz", "totally different content entirely"))
+    val df = rows.toDF("id", "text")
+    val got = Dedup.minhashLsh(df, "id", "text", GraftConf(), threshold = 0.9)
+      .as[(String, String)].collect().toMap
+    assert(got.values.count(_ == "h000") == 300, "all identical docs in one group")
+    assert(got("zzz") == "zzz")
+  }
+
   test("simhash near-dup: identical docs hamming 0, small edits small hamming") {
     val base = (1 to 80).map(i => s"word$i").mkString(" ")
     val edited = base.replace("word13", "changed")
@@ -81,5 +94,19 @@ class DedupSpec extends SparkSpec {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     info(s"ANN recall@10 = $recall")
     assert(recall >= 0.8, s"LSH recall $recall too low")
+  }
+
+  test("ANN: multi-table recall on UNclustered vectors (the r1 failure mode)") {
+    // isotropic random vectors: top-k cosines are low, single-table flip
+    // probing collapses (r1 measured ~13%); few planes x many tables holds
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map(i => (f"u$i%03d", Seq.fill(32)(rnd.nextGaussian())))
+    val corpus = rows.toDF("id", "vec")
+    val probes = rows.take(3).toDF("id", "vec")
+    val rec = SimilaritySearch.lshRecall(corpus, probes, "id", "vec", 5,
+      planes = 4, tables = 8, probeBits = 2)
+      .agg(avg($"recall")).as[Double].head()
+    info(s"multi-table ANN avg recall@5 on isotropic vectors = $rec")
+    assert(rec >= 0.85, s"multi-table LSH recall $rec too low")
   }
 }

@@ -1,10 +1,60 @@
 package graft
 
-import graft.operators.{Aliases, Multimodal, Reports, TextAnalysis}
+import graft.operators.{Aliases, Blocking, Evaluation, Multimodal, Reports, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("proximitySort: min positive distance before offset, hand-computed (A5)") {
+    //           0     6    11    17    23
+    val doc = "alpha beta gamma alpha delta"
+    val df = Seq((doc, 17, Seq("beta", "alpha", "zeta"))).toDF("doc", "off", "cands")
+    val got = df.select(
+      Aliases.proximitySort($"doc", $"off", $"cands").as("sorted"),
+      Aliases.minDistanceBefore($"doc", $"off", lit("beta")).as("dBeta"),
+      Aliases.minDistanceBefore($"doc", $"off", lit("alpha")).as("dAlpha"),
+      Aliases.minDistanceBefore($"doc", $"off", lit("zeta")).as("dZeta"))
+      .as[(Seq[String], Long, Long, Long)].head()
+    assert(got._2 == 11L) // beta@6, 17-6
+    assert(got._3 == 17L) // alpha@0 (the @17 occurrence is NOT strictly before)
+    assert(got._4 == doc.length.toLong) // absent -> doc length default
+    assert(got._1 == Seq("beta", "alpha", "zeta"))
+  }
+
+  test("bestThreshold: max-F1 threshold per fold, hand-computed (G11)") {
+    val scored = Seq(
+      ("a", 0.9, true), ("b", 0.8, false), ("c", 0.7, true), ("d", 0.6, false))
+      .toDF("id", "score", "label").withColumn("fold", lit(0))
+    val got = Reports.bestThreshold(scored)
+      .as[(Int, Double, Double)].head()
+    // ranks: f1 = 2/3, 1/2, 4/5, 2/3 -> max at rank 3, score 0.7
+    assert(got._1 == 0 && got._2 == 0.7 && math.abs(got._3 - 0.8) < 1e-12)
+  }
+
+  test("contextContainmentFilter admits pairs whose vocab contains the other's name (P4)") {
+    val mentions = Seq(
+      ("m1", Seq("acme"), Seq("the", "acmecorp")),
+      ("m2", Seq("corp"), Seq("nothing")),
+      ("m3", Seq("xyz"), Seq("zzz"))).toDF("id", "names", "vocab")
+    val pairs = Seq(("m1", "m2"), ("m1", "m3"), ("m2", "m3")).toDF("leftId", "rightId")
+    val got = Blocking.contextContainmentFilter(pairs, mentions)
+      .as[(String, String)].collect().toSet
+    // only (m1,m2): m1's vocab token "acmecorp" contains m2's name "corp"
+    assert(got == Set(("m1", "m2")))
+  }
+
+  test("b3 link-type clause (b3Correct): wrong KB id zeroes the mention's term") {
+    val sys = Seq(("m1", "E1"), ("m2", "E1"), ("m3", "NIL:a"), ("m4", "E2"))
+      .toDF("mentionId", "clusterId")
+    val gold = Seq(("m1", "E1"), ("m2", "E1"), ("m3", "NIL:x"), ("m4", "E9"))
+      .toDF("id", "gold")
+    val b3 = Evaluation.b3(sys, gold)
+    // hand-computed (Benchmarker.scala:39-50): m4 links E2 but gold says E9 ->
+    // its precision AND recall terms are 0; others are 1 -> P = R = 3/4
+    assert(math.abs(b3.precision - 0.75) < 1e-12, s"P=${b3.precision}")
+    assert(math.abs(b3.recall - 0.75) < 1e-12, s"R=${b3.recall}")
+  }
 
   test("backoff strings: all containing sub-spans at least one word longer") {
     val df = Seq(("Smith", "the John Smith Band")).toDF("name", "es")
