@@ -32,14 +32,18 @@ object Pipeline {
           weights: PairWeights = PairWeights.default,
           kbAnchors: Option[DataFrame] = None,
           kb: Option[DataFrame] = None,
-          kbWeights: KbWeights = KbWeights.default): Result = {
+          kbWeights: KbWeights = KbWeights.default,
+          extractions: Option[DataFrame] = None): Result = {
     import spark.implicits._
 
     // mentions feed four consumers (blocking, both scoring joins, CC nodes)
     // and scored feeds two (edges, confidence) — persist both so the
     // expensive TF-IDF/scoring subplans run once per action set, mirroring
     // what runCheckpointed gets from its stage tables
-    val mentions = Mentions.prepare(spark, files, aliasDict, conf)
+    val prepared = Mentions.prepare(spark, files, aliasDict, conf)
+    // F10: extraction side table (id, fbid) → link vectors onto mentions
+    val mentions = extractions.fold(prepared)(e =>
+      Extractions.withLinkVectors(prepared, e))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // mention→KB candidate linking (the reference's flagship op): anchors

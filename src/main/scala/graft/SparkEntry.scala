@@ -514,6 +514,25 @@ object SparkEntry {
           array_join(Aliases.proximitySort($"text", $"off", $"cands"), ",").as("sorted"))
         .orderBy($"doc_id")
     }),
+    // G5 cluster-pair similarity (Clusterer.clusterSimilarity): mean pair
+    // score across cluster cross-products. Scores are integer-valued
+    // (intersection counts) so the distributed avg is order-exact.
+    "q_cluster_avg" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select(lpad($"doc_id".cast("string"), 6, "0").as("id"), $"source", $"lang",
+          array_distinct(split($"text", " ")).as("toks"))
+      val l = docs.select($"source", $"id".as("leftId"), $"toks".as("lt"))
+      val r = docs.select($"source", $"id".as("rightId"), $"toks".as("rt"))
+      val scored = l.join(r, Seq("source")).where($"leftId" < $"rightId")
+        .select($"leftId", $"rightId",
+          size(array_intersect($"lt", $"rt")).cast("double").as("score"))
+      val comps = docs.select($"id", $"lang".as("component"))
+      Scoring.clusterPairSimilarity(scored, comps)
+        .select($"c1", $"c2", round($"avgScore", 6).as("avg_score"),
+          $"nPairs".as("n_pairs"))
+        .orderBy($"c1", $"c2")
+    }),
     // G11 threshold finder (LinkClassifier.scala:36-86): per-fold max-F1
     // threshold over ranked scores (deterministic fold = id % 10)
     "q_threshold" -> ((s, d) => {
@@ -863,6 +882,19 @@ object SparkEntry {
         |  FROM u)
         |SELECT doc_id, array_to_string(array_agg(c ORDER BY dd, c), ',') AS sorted
         |FROM dist GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_cluster_avg" ->
+      """WITH d AS (
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id, source, lang,
+        |    list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT l.lang AS lc, r.lang AS rc,
+        |    CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) AS score
+        |  FROM d l JOIN d r ON l.source = r.source AND l.id < r.id),
+        |c AS (SELECT least(lc, rc) AS c1, greatest(lc, rc) AS c2, score
+        |      FROM p WHERE lc != rc)
+        |SELECT c1, c2, round(avg(score), 6) AS avg_score, count(*) AS n_pairs
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_threshold" ->
       """WITH scored AS (
         |  SELECT event_id AS id, value AS score, event_type = 'click' AS label,

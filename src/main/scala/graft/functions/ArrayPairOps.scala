@@ -59,3 +59,50 @@ object ArrayPrefixOverlap {
   def array_prefix_overlap(l: Column, r: Column): Column =
     GraftExpr.column(ArrayPrefixOverlap(GraftExpr.expression(l), GraftExpr.expression(r)))
 }
+
+/** True iff any cross pair (a ∈ left, b ∈ right) has a.contains(b) or
+  * b.contains(a) with a ≠ b — the reference's `contains` feature (F8,
+  * MentionPairFeatures.scala:69: containment excluding exact overlap).
+  * Same codegen rationale as [[ArrayPrefixOverlap]].
+  */
+case class ArrayContainsOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "array_contains_overlap"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ArrayContainsOverlap.overlap(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.ArrayContainsOverlap.overlap($l, $r);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayContainsOverlap {
+  def overlap(l: ArrayData, r: ArrayData): Boolean = {
+    val nl = l.numElements(); val nr = r.numElements()
+    var i = 0
+    while (i < nl) {
+      if (!l.isNullAt(i)) {
+        val a = l.getUTF8String(i)
+        var j = 0
+        while (j < nr) {
+          if (!r.isNullAt(j)) {
+            val b = r.getUTF8String(j)
+            if (!a.equals(b) && (a.contains(b) || b.contains(a))) return true
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    false
+  }
+
+  def array_contains_overlap(l: Column, r: Column): Column =
+    GraftExpr.column(ArrayContainsOverlap(GraftExpr.expression(l), GraftExpr.expression(r)))
+}

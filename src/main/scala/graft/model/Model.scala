@@ -46,7 +46,9 @@ final case class ScoredPair(
     cosine: Double, // TF-IDF cosine over content (F2)
     namesOverlap: Boolean, // F5
     prefix: Boolean, // F7
+    containsF: Boolean, // F8 (containment excluding exact overlap)
     abbrMatch: Boolean, // F9
+    linkSim: Double, // F10 (extraction link-id cosine; 0 without extractions)
     score: Double // logistic score (G1)
 )
 

@@ -17,7 +17,9 @@ final case class PairWeights(
     cosine: Double,
     namesOverlap: Double,
     prefix: Double,
-    abbrMatch: Double)
+    abbrMatch: Double,
+    contains: Double = 0.0, // F8 — dormant in the reference's active set too
+    linkSim: Double = 0.0) // F10 — active only when extraction vectors exist
 
 object PairWeights {
   /** Trained with LogisticTrainer on the SynthCorpus labeled pairs (seed 42,
@@ -41,16 +43,24 @@ object Scoring {
 
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 
-  /** Attribute projection joined onto pairs (keep narrow: 6 columns). */
-  private def side(mentions: DataFrame, idCol: String, p: String): DataFrame =
-    mentions.select(
+  /** Attribute projection joined onto pairs (keep narrow; extraction link
+    * vectors ride along only when present — F10).
+    */
+  private def side(mentions: DataFrame, idCol: String, p: String): DataFrame = {
+    val ext =
+      if (mentions.columns.contains("extH"))
+        Seq(col("extH").as(s"${p}ExtH"), col("extW").as(s"${p}ExtW"))
+      else Nil
+    mentions.select(Seq(
       col("id").as(idCol), col("entityString").as(s"${p}Str"),
       col("names").as(s"${p}Names"), col("abbrs").as(s"${p}Abbrs"),
-      col("vecH").as(s"${p}VecH"), col("vecW").as(s"${p}VecW"))
+      col("vecH").as(s"${p}VecH"), col("vecW").as(s"${p}VecW")) ++ ext: _*)
+  }
 
   def score(pairs: DataFrame, mentions: DataFrame,
             w: PairWeights = PairWeights.default,
             conf: GraftConf = GraftConf()): DataFrame = {
+    val hasExt = mentions.columns.contains("extH")
     val joined = pairs
       .join(side(mentions, "leftId", "l"), "leftId")
       .join(side(mentions, "rightId", "r"), "rightId")
@@ -70,9 +80,18 @@ object Scoring {
       // and would break the whole projection out of whole-stage codegen
       .withColumn("prefix",
         graft.functions.ArrayPrefixOverlap.array_prefix_overlap(col("lNames"), col("rNames")))
+      .withColumn("containsF",
+        graft.functions.ArrayContainsOverlap.array_contains_overlap(col("lNames"), col("rNames")))
       .withColumn("abbrMatch",
         arrays_overlap(col("lNames"), col("rAbbrs")) ||
           arrays_overlap(col("rNames"), col("lAbbrs")))
+      // F10 linkSim: cosine over extraction link-id count vectors, 0 when a
+      // side has no extractions (reference empty-counter default)
+      .withColumn("linkSim",
+        if (hasExt)
+          coalesce(sorted_vec_dot(col("lExtH"), col("lExtW"),
+            col("rExtH"), col("rExtW")), lit(0.0))
+        else lit(0.0))
 
     feats.withColumn("score", sigmoid(
       lit(w.bias) +
@@ -81,9 +100,31 @@ object Scoring {
         lit(w.cosine) * col("cosine") +
         lit(w.namesOverlap) * col("namesOverlap").cast("double") +
         lit(w.prefix) * col("prefix").cast("double") +
-        lit(w.abbrMatch) * col("abbrMatch").cast("double")))
+        lit(w.abbrMatch) * col("abbrMatch").cast("double") +
+        lit(w.contains) * col("containsF").cast("double") +
+        lit(w.linkSim) * col("linkSim")))
       .select("leftId", "rightId", "blockKey", "jw", "lev", "cosine",
-        "namesOverlap", "prefix", "abbrMatch", "score")
+        "namesOverlap", "prefix", "containsF", "abbrMatch", "linkSim", "score")
+  }
+
+  /** G5 — cluster-pair similarity (Clusterer.clusterSimilarity,
+    * Clusterer.scala:73-87): mean of the mention-pair scores across the
+    * cluster cross product, as one hash aggregation over the scored-pairs
+    * table joined with the component assignment (the reference's
+    * `mentionPairCache` memo IS the scored table here). Only pairs that were
+    * actually scored contribute — the reference also scores only generated
+    * pairs.
+    */
+  def clusterPairSimilarity(scored: DataFrame, components: DataFrame): DataFrame = {
+    val l = components.select(col("id").as("leftId"), col("component").as("lComp"))
+    val r = components.select(col("id").as("rightId"), col("component").as("rComp"))
+    scored
+      .join(l, "leftId").join(r, "rightId")
+      .where(col("lComp") =!= col("rComp"))
+      .select(least(col("lComp"), col("rComp")).as("c1"),
+        greatest(col("lComp"), col("rComp")).as("c2"), col("score"))
+      .groupBy(col("c1"), col("c2"))
+      .agg(avg(col("score")).as("avgScore"), count(lit(1)).as("nPairs"))
   }
 }
 

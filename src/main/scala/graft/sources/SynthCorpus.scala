@@ -162,6 +162,21 @@ object SynthCorpus {
     }.toDF()
   }
 
+  /** Extraction side table (reference S3/F10: per-doc OpenIE link ids from
+    * ExtrSolrHelper): one row per (file id, extracted link id). Family-
+    * correlated fbids plus a shared noise id, so linkSim is high within a
+    * family and small-but-nonzero across.
+    */
+  def extractions(spark: SparkSession, families: Int = 20, variants: Int = 8,
+                  seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    rows(families, variants, seed).flatMap { case (file, g) =>
+      val f = g.stripPrefix("FAM").toInt
+      val id = s"${file.repo}/${file.path}@${file.commit}"
+      (0 until 4).map(k => (id, s"fb:$f:$k")) :+ ((id, "fb:common"))
+    }.toDF("id", "fbid")
+  }
+
   /** Gold mention→KB link: every member of family f belongs to entity
     * E%06d (for the KB-linking F1 gate and the B³ b3Correct clause).
     */

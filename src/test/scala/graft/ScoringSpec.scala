@@ -69,6 +69,45 @@ class ScoringSpec extends SparkSpec {
     assert(!keptKeys.contains("hot") && keptKeys.size == 10)
   }
 
+  test("F8 contains + F10 linkSim: features fire and feed the score") {
+    val conf = GraftConf()
+    val m = Seq(
+      ("a", "kube", Seq("kube"), Seq("k"), Seq(1L), Seq(1.0)),
+      ("b", "kubernetes", Seq("kubernetes"), Seq("k"), Seq(1L), Seq(1.0)),
+      ("c", "zzz", Seq("zzz"), Seq("z"), Seq(9L), Seq(1.0)))
+      .toDF("id", "entityString", "names", "abbrs", "vecH", "vecW")
+    val ext = Seq(("a", "fb1"), ("a", "fb2"), ("b", "fb1"), ("b", "fb2"), ("c", "fb9"))
+      .toDF("id", "fbid")
+    val withExt = Extractions.withLinkVectors(m, ext)
+    val pairs = Seq(("a", "b", "k"), ("a", "c", "k")).toDF("leftId", "rightId", "blockKey")
+    val got = Scoring.score(pairs, withExt,
+      PairWeights.default.copy(contains = 1.0, linkSim = 2.0), conf)
+      .select($"rightId", $"containsF", $"linkSim")
+      .as[(String, Boolean, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // "kubernetes" contains "kube" (not equal) -> F8 true; shared fbids -> linkSim 1
+    assert(got("b")._1 && math.abs(got("b")._2 - 1.0) < 1e-12)
+    assert(!got("c")._1 && math.abs(got("c")._2) < 1e-12)
+    // default weights keep both features dormant: scores match the no-ext run
+    val withW = Scoring.score(pairs, withExt, PairWeights.default, conf)
+      .select($"rightId", $"score").as[(String, Double)].collect().toMap
+    val withoutW = Scoring.score(pairs, m, PairWeights.default, conf)
+      .select($"rightId", $"score").as[(String, Double)].collect().toMap
+    assert(withW == withoutW)
+  }
+
+  test("G5 cluster-pair similarity: mean pair score per cluster pair") {
+    val scored = Seq(
+      ("a", "b", 0.9), ("a", "c", 0.5), ("b", "c", 0.7), ("a", "d", 0.1))
+      .toDF("leftId", "rightId", "score")
+    val comps = Seq(("a", "X"), ("b", "X"), ("c", "Y"), ("d", "Y")).toDF("id", "component")
+    val got = Scoring.clusterPairSimilarity(scored, comps)
+      .as[(String, String, Double, Long)].collect()
+    // cross-cluster pairs: (a,c)=.5, (b,c)=.7, (a,d)=.1 -> avg 1.3/3; (a,b) intra
+    assert(got.length == 1)
+    val (c1, c2, avgS, n) = got.head
+    assert(c1 == "X" && c2 == "Y" && n == 3L && math.abs(avgS - (1.3 / 3)) < 1e-12)
+  }
+
   test("pair features: symmetric inputs give jw=lev=cos=1 and score above threshold") {
     val conf = GraftConf()
     val m = Seq(
