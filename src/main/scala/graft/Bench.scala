@@ -19,6 +19,10 @@ object Bench {
     .appName("graft-bench")
     .config("spark.sql.shuffle.partitions", cpus.toString)
     .config("spark.sql.adaptive.enabled", "true")
+    // let AQE upgrade shuffle joins to broadcast when the runtime size of a
+    // side (e.g. the TF-IDF vocabulary frame) is moderate; plans stay
+    // shuffle-join shaped for the cases that never fit
+    .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

@@ -33,6 +33,18 @@ object Extractions {
         transform($"hws", x => x("w") / $"norm").as("extW"))
   }
 
+  /** argVec (the F10 pair of linkVec): term vectors over extraction ARG
+    * TEXT per doc (MentionPairFeatures.scala:36 — `argVec` from
+    * `getExtrArgs` texts). Tokenize the arg strings, then it is exactly the
+    * count-by-id shape; the output plugs into the same `sorted_vec_dot`
+    * kernel (argSim = dot of two argVectors rows).
+    * Input: (id, argText); output: (extId, extH, extW).
+    */
+  def argVectors(extractions: DataFrame, argCol: String = "argText"): DataFrame =
+    linkVectors(extractions.select(col("id"),
+      explode(filter(split(lower(col(argCol)), "[^a-z0-9]+"),
+        t => length(t) > 0)).as("fbid")))
+
   /** Join extraction link vectors onto a mention frame (left: mentions
     * without extractions keep null vectors → linkSim coalesces to 0 at
     * scoring, mirroring the reference's empty-extraction default).

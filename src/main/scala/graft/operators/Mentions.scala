@@ -118,16 +118,26 @@ object Mentions {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // hash terms to 64-bit keys BEFORE any shuffle: every downstream
+    // exchange (tf agg, df agg, idf join) then moves fixed-width longs
+    // instead of strings — smaller shuffle bytes, cheaper comparisons.
+    // Collisions only perturb idf weights (cosine stays a similarity), and
+    // at 64 bits they are ~n²/2⁶⁵ — irrelevant below trillions of terms.
     val tf = docs
       .select($"id", explode($"tokens").as("term"))
-      .groupBy($"id", $"term").agg(count(lit(1)).as("tf"))
+      .select($"id", xxhash64($"term").as("h"))
+      .groupBy($"id", $"h").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val df = tf.groupBy($"h").agg(count(lit(1)).as("df"))
     val n = docCount.toDouble
 
-    val weighted = tf.join(df, "term")
-      .select($"id", xxhash64($"term").as("h"),
+    // shuffle join on the long key; AQE upgrades it to broadcast-hash at
+    // runtime when the vocabulary side turns out small (it cannot be
+    // broadcast unconditionally — a web-scale corpus vocabulary is not
+    // driver-sized)
+    val weighted = tf.join(df, "h")
+      .select($"id", $"h",
         ($"tf" * (log((lit(n) + 1.0) / ($"df" + 1.0)) + 1.0)).as("w"))
     val vecs = weighted
       .groupBy($"id")

@@ -95,6 +95,22 @@ class ScoringSpec extends SparkSpec {
     assert(withW == withoutW)
   }
 
+  test("argVectors: arg-text term vectors feed the same dot kernel (argSim)") {
+    val ext = Seq(
+      ("a", "Seattle Sounders FC"), ("a", "seattle stadium"),
+      ("b", "Seattle Sounders"), ("c", "completely different args"))
+      .toDF("id", "argText")
+    val v = Extractions.argVectors(ext).cache()
+    val l = v.select($"extId".as("li"), $"extH".as("lh"), $"extW".as("lw"))
+    val r = v.select($"extId".as("ri"), $"extH".as("rh"), $"extW".as("rw"))
+    val sims = l.join(r, $"li" < $"ri")
+      .select($"li", $"ri", graft.functions.VecFunctions
+        .sorted_vec_dot($"lh", $"lw", $"rh", $"rw").as("argSim"))
+      .as[(String, String, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(sims(("a", "b")) > 0.7, s"shared arg terms => high argSim: ${sims(("a", "b"))}")
+    assert(sims(("a", "c")) < 0.1 && sims(("b", "c")) < 0.1)
+  }
+
   test("G5 cluster-pair similarity: mean pair score per cluster pair") {
     val scored = Seq(
       ("a", "b", 0.9), ("a", "c", 0.5), ("b", "c", 0.7), ("a", "d", 0.1))
