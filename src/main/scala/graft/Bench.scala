@@ -19,10 +19,11 @@ object Bench {
     .appName("graft-bench")
     .config("spark.sql.shuffle.partitions", cpus.toString)
     .config("spark.sql.adaptive.enabled", "true")
-    // let AQE upgrade shuffle joins to broadcast when the runtime size of a
-    // side (e.g. the TF-IDF vocabulary frame) is moderate; plans stay
-    // shuffle-join shaped for the cases that never fit
-    .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+    // NOTE: do NOT raise spark.sql.adaptive.autoBroadcastJoinThreshold here —
+    // measured at sf0.1, a 64m threshold makes AQE broadcast the WIDE
+    // mentions frame (vector arrays) into the scoring joins and the pipeline
+    // gets ~2-4x slower from driver collect + rebroadcast; the default 10m
+    // keeps those shuffle-shaped while still upgrading genuinely small sides
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

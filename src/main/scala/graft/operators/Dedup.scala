@@ -42,12 +42,17 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  conf: GraftConf = GraftConf(), threshold: Double = 0.7): DataFrame = {
     import df.sparkSession.implicits._
+    // the tokenize→shingle→minhash frame feeds FOUR consumers (block keys,
+    // both verification sides, CC nodes) — persist it or the expensive
+    // shingling runs once per consumer
     val toks = df.select(
       col(idCol).cast("string").as("id"),
       filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0).as("tokens"))
       .withColumn("shingles",
         array_distinct(Mentions.shingleHashes($"tokens", conf.shingleK)))
       .withColumn("bands", minhash_bands($"shingles", conf.minHashes, conf.bands, conf.seed))
+      .drop("tokens")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val blocks = toks.select($"id", explode($"bands").as("key"))
     val cand = Blocking.candidatePairs(blocks, conf)
@@ -64,8 +69,11 @@ object Dedup {
       .where($"jaccard" >= threshold)
       .select($"leftId".as("src"), $"rightId".as("dst"))
 
-    ConnectedComponents.run(toks.select($"id"), verified)
+    val out = ConnectedComponents.run(toks.select($"id"), verified)
       .withColumnRenamed("component", "dupGroup")
+      .localCheckpoint(true) // materialize before releasing toks
+    toks.unpersist()
+    out
   }
 
   /** SimHash near-dup: 64-bit signature, candidates share one of 4 16-bit
@@ -80,10 +88,14 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String,
               maxHamming: Int = 3, conf: GraftConf = GraftConf()): DataFrame = {
     import df.sparkSession.implicits._
+    // signature frame feeds four consumers (chunk keys, two signature-side
+    // joins, CC nodes) — persist, same rationale as minhashLsh
     val toks = df.select(
       col(idCol).cast("string").as("id"),
       filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0).as("tokens"))
       .withColumn("sig", SimHash64.simhash(transform($"tokens", t => xxhash64(t))))
+      .drop("tokens")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 4 chunks of 16 bits: chunk i = bits [16i, 16i+16)
     val chunks = (0 until 4).map(i =>
@@ -99,8 +111,11 @@ object Dedup {
       .where($"hamming" <= maxHamming)
 
     val edges = cand.select($"leftId".as("src"), $"rightId".as("dst"))
-    ConnectedComponents.run(toks.select($"id"), edges)
+    val out = ConnectedComponents.run(toks.select($"id"), edges)
       .withColumnRenamed("component", "dupGroup")
+      .localCheckpoint(true)
+    toks.unpersist()
+    out
   }
 
   /** Token n-gram Jaccard near-dup within explicit blocks (exact, no LSH) —

@@ -52,6 +52,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streaming link: one stable NIL id per alias across batches") {
+    import graft.streaming.StreamingLink
+    import graft.streaming.StreamingLink.{LinkAssignment, MentionEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MentionEvent]
+    val out = StreamingLink.assignClusters(input.toDS())
+    val q = out.writeStream.format("memory").queryName("link_out")
+      .outputMode("update").start()
+    try {
+      input.addData(MentionEvent("m2", "acme"), MentionEvent("m1", "acme"),
+        MentionEvent("m5", "zeta"))
+      q.processAllAvailable()
+      // later batch: the alias must REUSE the id minted in the first batch
+      input.addData(MentionEvent("m0", "acme"))
+      q.processAllAvailable()
+      val got = spark.table("link_out").as[LinkAssignment].collect()
+        .map(a => a.mentionId -> a.clusterId).toMap
+      assert(got("m1") == "NIL:m1" && got("m2") == "NIL:m1")
+      assert(got("m0") == "NIL:m1") // NOT NIL:m0 — state carried the minted id
+      assert(got("m5") == "NIL:m5")
+    } finally q.stop()
+  }
+
   test("enrich produces identical results in batch mode (one code path)") {
     val batch = Seq((1L, "the cat and the dog is here")).toDF("doc_id", "text")
     val got = StreamingDedup.enrich(batch, "text")
