@@ -15,34 +15,51 @@ import graft.sources.SynthCorpus
 object Scaling {
   def main(args: Array[String]): Unit = {
     val families = sys.env.getOrElse("SPARK_GRAFT_FAMILIES", "2000").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
 
-    def measure(cpus: Int, warmFull: Boolean): (Long, Double) = {
-      val spark = Bench.session(cpus)
-      spark.sparkContext.setLogLevel("WARN")
-      // steady-state warm-up, not measured: the FIRST full-size run in a JVM
-      // pays one-time heap-growth + JIT-at-scale costs (~2-4x) that would
-      // corrupt whichever parallelism level runs first
-      val warmFams = if (warmFull) families else 4
-      Bench.pipelineThroughput(spark, warmFams)
-      // best-of-reps to damp GC noise
-      val runs = (0 until reps).map(_ => Bench.pipelineThroughput(spark, families))
-      spark.stop()
+    def session(cpus: Int) = {
+      val s = Bench.session(cpus)
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    def close(s: org.apache.spark.sql.SparkSession): Unit = {
+      s.stop()
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
-      runs.minBy(_._2)
+    }
+    def runOnce(cpus: Int): (Long, Double) = {
+      val spark = session(cpus)
+      val r = Bench.pipelineThroughput(spark, families)
+      close(spark)
+      r
     }
 
-    val (pairs8, t8) = measure(8, warmFull = true)
-    val (pairs32, t32) = measure(32, warmFull = true)
+    // one full-size warm-up (not measured): the FIRST full-size run in a JVM
+    // pays one-time heap-growth + JIT-at-scale costs (~2-4x). JIT state is
+    // JVM-wide, so it survives the session rebuilds below.
+    { val s = session(8); Bench.pipelineThroughput(s, families); close(s) }
+
+    // INTERLEAVE the parallelism levels (8,32,8,32,...) so both sample the
+    // same shared-CPU contention regime — measuring all local[8] reps first
+    // and all local[32] reps after lets a contention spike land entirely on
+    // one level and corrupt the ratio (observed: a spike during the 32-phase
+    // turned a ~1.7x speedup into 1.06x). Best-of-reps per level.
+    val runs = (0 until reps).map(_ => (runOnce(8), runOnce(32)))
+    val pairs8 = runs.head._1._1
+    val pairs32 = runs.head._2._1
     require(pairs8 == pairs32, s"nondeterministic pair count: $pairs8 vs $pairs32")
+    val reps8 = runs.map(_._1._2)
+    val reps32 = runs.map(_._2._2)
+    val t8 = reps8.min
+    val t32 = reps32.min
     val thr8 = pairs8 / t8
     val thr32 = pairs32 / t32
     val eff = (t8 / t32) / 4.0
     val ceiling = hardwareCeilingSpeedup()
     val effNorm = (t8 / t32) / ceiling
+    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"pairs":$pairs8%d,"t_local8_sec":$t8%.3f,"t_local32_sec":$t32%.3f,"pairs_per_sec_local8":$thr8%.1f,"pairs_per_sec_local32":$thr32%.1f,"hw_ceiling_speedup_8_to_32":$ceiling%.2f,"efficiency_vs_hw_ceiling":$effNorm%.3f,"families":$families%d}""")
+      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"pairs":$pairs8%d,"t_local8_sec":$t8%.3f,"t_local32_sec":$t32%.3f,"reps_local8_sec":${arr(reps8)}%s,"reps_local32_sec":${arr(reps32)}%s,"pairs_per_sec_local8":$thr8%.1f,"pairs_per_sec_local32":$thr32%.1f,"hw_ceiling_speedup_8_to_32":$ceiling%.2f,"efficiency_vs_hw_ceiling":$effNorm%.3f,"families":$families%d}""")
   }
 
   /** Measure what THIS machine can deliver going 8 → 32 plain JVM threads on
