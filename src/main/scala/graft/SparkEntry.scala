@@ -432,6 +432,19 @@ object SparkEntry {
         .select($"qid", $"n_exact", $"n_hit", round($"recall", 4).as("recall"))
         .orderBy($"qid")
     }),
+    // IVF ANN top-k, self-checking like q_lsh_topk: per-probe recall vs
+    // exact brute force. This embeddings table is near-isotropic (no cluster
+    // structure for the coarse quantizer to exploit), so a high nprobe/nlist
+    // ratio is required for recall — the recall column makes that tradeoff
+    // visible; clustered corpora run small nprobe (DedupSpec: 2/8 at 1.0)
+    "q_ivf_topk" -> ((s, d) => {
+      import s.implicits._
+      val e = t(s, d, "embeddings")
+      SimilaritySearch.ivfRecall(e, e.where($"vec_id" < 3), "vec_id", "embedding", 5,
+          nlist = 16, nprobe = 12, iters = 3)
+        .select($"qid", $"n_exact", $"n_hit", round($"recall", 4).as("recall"))
+        .orderBy($"qid")
+    }),
     // quality + fingerprint text analysis bundle
     "q_text_analysis" -> ((s, d) => {
       import s.implicits._

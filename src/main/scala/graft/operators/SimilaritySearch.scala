@@ -90,6 +90,108 @@ object SimilaritySearch {
       .select(col("qid"), col("id"), col("cos"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN top-k: k-means-lite coarse quantizer + inverted
+    * lists. Centroids are initialized from a deterministic hash-ordered
+    * sample, refined with `iters` Lloyd steps where the ASSIGN step is a
+    * scan-parallel argmin against the broadcast centroid array and the
+    * UPDATE step is one per-(centroid, dimension) hash aggregation; the
+    * centroid table itself (nlist × dim doubles) is the only thing that
+    * ever reaches the driver — the corpus never does. Probes search the
+    * `nprobe` nearest centroids' lists and re-rank exactly.
+    *
+    * Scale shape: assignment is one map-side pass per Lloyd iteration plus
+    * one narrow (cid, pos, sum, n) aggregation; the query join touches
+    * ~nprobe/nlist of the corpus per probe, shuffle-free on the corpus side
+    * (probe side broadcast). Recall degrades gracefully with nprobe like
+    * any IVF index; measure with `ivfRecall`.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = withNorm(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // deterministic init: hash-ordered sample (stable across partitionings)
+    var centroids: Array[Array[Double]] = c
+      .select(col("v"), xxhash64(col("id"), lit(seed)).as("hk"))
+      .orderBy(col("hk")).limit(nlist)
+      .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
+
+    def centroidDists(v: Column): Column = array(centroids.map { ct =>
+      val lits = ct.map(lit(_))
+      aggregate(
+        zip_with(v, array(lits: _*), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+
+    // argmin over the broadcast centroid literals: 1-based position of the
+    // min distance (first occurrence = deterministic low-cid tie-break)
+    def nearestCid(v: Column): Column = {
+      val d = centroidDists(v)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+
+    var it = 0
+    while (it < iters) {
+      // UPDATE: per-(cid, dimension) mean via posexplode + hash agg; only
+      // nlist × dim rows come back to rebuild the broadcast table
+      val sums = c.select(nearestCid(col("v")).as("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val dim = centroids.head.length
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val cid = r.getInt(0); val pos = r.getInt(1)
+        next(cid)(pos) = r.getDouble(2) / r.getLong(3)
+      }
+      require(next.forall(_.length == dim))
+      centroids = next
+      it += 1
+    }
+
+    val assigned = c.withColumn("cid", nearestCid(col("v")))
+
+    // probe side: nprobe nearest centroids per probe — rank the distance
+    // array with its index via two aligned arrays, sort (dist, cid) pairs
+    // as 2-element arrays (lexicographic), explode the first nprobe cids
+    val probeScored = withNorm(probes, idCol, vecCol)
+      .select(col("id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val probeCids = probeScored
+      .withColumn("byDist", array_sort(
+        zip_with(centroidDists(col("qv")),
+          array(centroids.indices.map(i => lit(i.toDouble)): _*),
+          (d, i) => array(d, i))))
+      .withColumn("cid", explode(transform(
+        slice(col("byDist"), 1, nprobe), x => element_at(x, 2).cast("int"))))
+      .select(col("qid"), col("qv"), col("qnorm"), col("cid"))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    assigned.join(broadcast(probeCids), "cid")
+      .where(col("id") =!= col("qid"))
+      .withColumn("cos", cosineCol)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rank"))
+  }
+
+  /** Per-probe recall of the IVF path against exact brute force. */
+  def ivfRecall(corpus: DataFrame, probes: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val exact = bruteForceTopK(corpus, probes, idCol, vecCol, k)
+      .select(col("qid"), col("id"))
+    val approx = ivfTopK(corpus, probes, idCol, vecCol, k, nlist, nprobe, iters, seed)
+      .select(col("qid"), col("id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("qid", "id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+  }
+
   /** Per-probe recall of the LSH path against the exact brute-force top-k —
     * the self-check that keeps a silent recall collapse visible (r1 lesson:
     * a rows-only LSH query "passed" while returning 2/15 rows).

@@ -96,6 +96,20 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall too low")
   }
 
+  test("ANN: IVF top-k on clustered vectors — coarse quantizer finds the lists") {
+    val rnd = new scala.util.Random(7)
+    def vec(center: Array[Double]) = center.map(_ + rnd.nextGaussian() * 0.05)
+    val centers = (0 until 4).map(c => Array.tabulate(16)(i => math.sin(c * 17 + i)))
+    val rows = (0 until 200).map(i => (f"v$i%03d", vec(centers(i % 4)).toSeq))
+    val corpus = rows.toDF("id", "vec")
+    val probes = rows.take(4).toDF("id", "vec")
+    val rec = SimilaritySearch.ivfRecall(corpus, probes, "id", "vec", 10,
+      nlist = 8, nprobe = 2, iters = 3)
+      .agg(avg($"recall")).as[Double].head()
+    info(s"IVF recall@10 on clustered vectors = $rec")
+    assert(rec >= 0.9, s"IVF recall $rec too low")
+  }
+
   test("ANN: multi-table recall on UNclustered vectors (the r1 failure mode)") {
     // isotropic random vectors: top-k cosines are low, single-table flip
     // probing collapses (r1 measured ~13%); few planes x many tables holds
