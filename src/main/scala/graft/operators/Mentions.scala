@@ -16,8 +16,11 @@ final case class GraftConf(
     saltBuckets: Int = 8, // salt fan-out: a hot key spreads over S(S+1)/2 shuffle keys
     seed: Long = 42L,
     levBound: Int = 16, // bounded Levenshtein threshold (north_star)
-    contextFilter: Boolean = false // P4 pair guard (opt-in, as in the reference
+    contextFilter: Boolean = false, // P4 pair guard (opt-in, as in the reference
     // where only the training-data path applies it — MentionPairTrainingData.scala:41-43)
+    wideContext: Boolean = false // F3 second context window (std + wide sim
+    // averaged, MentionPairFeatures.scala:115-119); off by default to keep
+    // the pinned weights' behavior
 )
 
 /** Stage 1 — mention construction + alias expansion (SURVEY.md §7 M1).
@@ -92,7 +95,21 @@ object Mentions {
     val withVocab =
       if (conf.contextFilter) keyed.withColumn("vocab", array_distinct(col("tokens")))
       else keyed
-    withVocab
+    // F3 wide context (opt-in): a second, identifier-level window — the
+    // repo/path tokens play the reference's wide/headline context
+    // (KBPQuery.sourceWideContext) next to the content window. Tiny arrays,
+    // uniform unit weights, same hash space as the TF-IDF vectors.
+    val withWide =
+      if (conf.wideContext) withVocab.withColumn("wideToks",
+        array_distinct(filter(
+          split(lower(concat_ws("/", col("repo"), col("path"))), "[^a-z0-9]+"),
+          t => length(t) > 0)))
+        .withColumn("wideVecH", sort_array(transform(col("wideToks"), t => xxhash64(t))))
+        .withColumn("wideVecW", transform(col("wideVecH"),
+          _ => lit(1.0) / sqrt(size(col("wideVecH")).cast("double"))))
+        .drop("wideToks")
+      else withVocab
+    withWide
       .drop("content", "tokens", "repo", "path", "commit", "lang")
       .join(vecs, col("id") === col("vid"), "left").drop("vid")
   }

@@ -51,16 +51,21 @@ object Scoring {
       if (mentions.columns.contains("extH"))
         Seq(col("extH").as(s"${p}ExtH"), col("extW").as(s"${p}ExtW"))
       else Nil
+    val wide =
+      if (mentions.columns.contains("wideVecH"))
+        Seq(col("wideVecH").as(s"${p}WideH"), col("wideVecW").as(s"${p}WideW"))
+      else Nil
     mentions.select(Seq(
       col("id").as(idCol), col("entityString").as(s"${p}Str"),
       col("names").as(s"${p}Names"), col("abbrs").as(s"${p}Abbrs"),
-      col("vecH").as(s"${p}VecH"), col("vecW").as(s"${p}VecW")) ++ ext: _*)
+      col("vecH").as(s"${p}VecH"), col("vecW").as(s"${p}VecW")) ++ ext ++ wide: _*)
   }
 
   def score(pairs: DataFrame, mentions: DataFrame,
             w: PairWeights = PairWeights.default,
             conf: GraftConf = GraftConf()): DataFrame = {
     val hasExt = mentions.columns.contains("extH")
+    val hasWide = mentions.columns.contains("wideVecH")
     val joined = pairs
       .join(side(mentions, "leftId", "l"), "leftId")
       .join(side(mentions, "rightId", "r"), "rightId")
@@ -72,9 +77,20 @@ object Scoring {
       .withColumn("jw", jaro_winkler(col("lStr"), col("rStr")))
       .withColumn("lev",
         when(levRaw < 0, lit(0.0)).otherwise(lit(1.0) - levRaw / maxLen))
-      .withColumn("cosine", coalesce(
-        sorted_vec_dot(col("lVecH"), col("lVecW"), col("rVecH"), col("rVecW")),
-        lit(0.0)))
+      // F3 standardContextSim: with a wide window present, the cosine
+      // feature is the MEAN of the two window sims ((stdSim + wideSim)/2,
+      // MentionPairFeatures.scala:115-119); with one window it is that sim
+      .withColumn("cosine", {
+        val std = coalesce(
+          sorted_vec_dot(col("lVecH"), col("lVecW"), col("rVecH"), col("rVecW")),
+          lit(0.0))
+        if (hasWide) {
+          val wide = coalesce(
+            sorted_vec_dot(col("lWideH"), col("lWideW"), col("rWideH"), col("rWideW")),
+            lit(0.0))
+          (std + wide) / 2.0
+        } else std
+      })
       .withColumn("namesOverlap", arrays_overlap(col("lNames"), col("rNames")))
       // NOT exists(.., exists(..)): higher-order lambdas are CodegenFallback
       // and would break the whole projection out of whole-stage codegen

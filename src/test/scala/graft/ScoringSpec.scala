@@ -124,6 +124,27 @@ class ScoringSpec extends SparkSpec {
     assert(c1 == "X" && c2 == "Y" && n == 3L && math.abs(avgS - (1.3 / 3)) < 1e-12)
   }
 
+  test("F3 wide context: cosine becomes the mean of std and wide window sims") {
+    val conf = GraftConf(wideContext = true)
+    val files = Seq(
+      // same family content, DIFFERENT repo/path identifiers -> stdSim 1,
+      // wideSim < 1 -> averaged cosine strictly between
+      graft.model.RepoFile("orga/kubernetes", "src/a.scala", "c1", "scala", "alpha beta gamma"),
+      graft.model.RepoFile("orgb/kubernetes", "lib/b.go", "c2", "go", "alpha beta gamma"))
+      .toDF()
+    val m = Mentions.prepare(spark, files, Map.empty, conf)
+    assert(m.columns.contains("wideVecH"))
+    val pairs = {
+      val ids = m.select($"id").as[String].collect().sorted
+      Seq((ids(0), ids(1), "k")).toDF("leftId", "rightId", "blockKey")
+    }
+    val got = Scoring.score(pairs, m, PairWeights.default, conf)
+      .select($"cosine").as[Double].head()
+    // std = 1.0 exactly; wide windows share some tokens (kubernetes, src-ish)
+    // but not all -> 0 < wide < 1 -> 0.5 < mean < 1
+    assert(got > 0.5 && got < 1.0, s"averaged context sim $got")
+  }
+
   test("pair features: symmetric inputs give jw=lev=cos=1 and score above threshold") {
     val conf = GraftConf()
     val m = Seq(
