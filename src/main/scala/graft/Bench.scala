@@ -87,6 +87,8 @@ object Bench {
     // the best rep is the closest observable to the uncontended number).
     // Both raw timings are reported.
     val reps = (0 until 2).map(_ => pipelineThroughput(spark, fams))
+    require(reps.map(_._1).distinct.size == 1,
+      s"nondeterministic pair count across reps: ${reps.map(_._1)}")
     val nPairs = reps.head._1
     val pipeSec = reps.map(_._2).min
     val pairsPerSec = nPairs / pipeSec

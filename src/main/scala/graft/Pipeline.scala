@@ -47,11 +47,15 @@ object Pipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // mention→KB candidate linking (the reference's flagship op): anchors
-    // either passed in directly or built from a KB entity table
+    // either passed in directly or built from a KB entity table. Persisted:
+    // Decisions.assemble consumes the frame twice (incident-score union and
+    // the component-anchor join), and the KbLink subplan (candidate join +
+    // per-mention window) is not free to rerun.
     val anchors = kbAnchors.orElse(kb.map { k =>
       val kbVec =
         if (k.columns.contains("intro")) KbLink.introVectors(k, "intro") else k
       KbLink.anchors(mentions, kbVec, kbWeights, conf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
     val blocked = Blocking(mentions, conf)
@@ -85,20 +89,25 @@ object Pipeline {
                       weights: PairWeights = PairWeights.default,
                       kbAnchors: Option[DataFrame] = None,
                       kb: Option[DataFrame] = None,
-                      kbWeights: KbWeights = KbWeights.default): Result = {
+                      kbWeights: KbWeights = KbWeights.default,
+                      extractions: Option[DataFrame] = None): Result = {
     import spark.implicits._
     val cp = new Checkpoint(spark, checkpointRoot)
     // hash covers EVERYTHING that changes stage outputs: conf, weights, the
-    // alias dictionary, and an input fingerprint (row count + schema — cheap:
-    // parquet metadata only). Rerunning against the same checkpoint root with
-    // a different dictionary or input must not silently reuse stale stages.
+    // alias dictionary, an input fingerprint (row count + schema — cheap:
+    // parquet metadata only), and CONTENT fingerprints of the small/medium
+    // side frames (kb, directly-passed anchors, extractions) — a KB edit
+    // that keeps the row count constant must still invalidate the cache.
     val h = Checkpoint.hash(conf, weights, kbWeights,
       aliasDict.toSeq.sorted.mkString(","),
       files.count(), files.schema.catalogString,
-      kb.map(_.count()).getOrElse(0L))
+      kb.map(Checkpoint.fingerprint).getOrElse("nokb"),
+      kbAnchors.map(Checkpoint.fingerprint).getOrElse("noanchors"),
+      extractions.map(Checkpoint.fingerprint).getOrElse("noext"))
 
     val mentions = cp.getOrCompute("mentions", h, Seq("files")) {
-      Mentions.prepare(spark, files, aliasDict, conf)
+      val prepared = Mentions.prepare(spark, files, aliasDict, conf)
+      extractions.fold(prepared)(e => Extractions.withLinkVectors(prepared, e))
     }
     val anchors = kbAnchors.orElse(kb.map { k =>
       cp.getOrCompute("kb_anchors", h, Seq("mentions")) {
@@ -114,7 +123,12 @@ object Pipeline {
       Blocking(mentions, conf).overflow
     }
     val scored = cp.getOrCompute("scored_pairs", h, Seq("blocks")) {
-      Scoring.score(Blocking.candidatePairs(blocks, conf), mentions, weights, conf)
+      val rawPairs = Blocking.candidatePairs(blocks, conf)
+      // same P4 guard as run(): the two entry points must score the same pairs
+      val filtered =
+        if (conf.contextFilter) Blocking.contextContainmentFilter(rawPairs, mentions)
+        else rawPairs
+      Scoring.score(filtered, mentions, weights, conf)
     }
     val components = cp.getOrCompute("components", h, Seq("scored_pairs")) {
       val edges = scored.where($"score" > conf.linkThreshold)

@@ -29,11 +29,14 @@ object Decisions {
   }
 
   /** components: (id, component); scored accepted edges: (leftId, rightId,
-    * score); optional kbAnchors: (id, kbId[, kbScore]). Returns (mentionId,
-    * clusterId, confidence). When anchors carry a kbScore, it participates
-    * in the mention's best-incident-score max — the reference's KB-linked
-    * confidence comes from the link classifier score
-    * (RunKBPEntityLinkerSystem.scala:128, getConfidence(t, score)).
+    * score); optional kbAnchors: (id, kbId[, kbScore][, kbConfidence]).
+    * Returns (mentionId, clusterId, confidence). When anchors carry a
+    * kbScore, it participates in the mention's best-incident-score max — the
+    * reference's KB-linked confidence comes from the link classifier score
+    * (RunKBPEntityLinkerSystem.scala:128, getConfidence(t, score)); when
+    * they carry a kbConfidence (the title-only fallback's fixed 0.8, or the
+    * type-reroute's 0.7), it acts as a FLOOR for that mention — a
+    * below-threshold exact-title link must not collapse to 0.55.
     */
   def assemble(components: DataFrame, acceptedEdges: DataFrame,
                kbAnchors: Option[DataFrame], threshold: Double): DataFrame = {
@@ -65,12 +68,23 @@ object Decisions {
           .withColumn("clusterId", concat(lit("NIL:"), $"component"))
     }
 
-    components
+    // kbConfidence floor (title-only 0.8 / reroute 0.7) for anchored mentions
+    val confFloor = kbAnchors match {
+      case Some(kb) if kb.columns.contains("kbConfidence") =>
+        Some(kb.select($"id", $"kbConfidence"))
+      case _ => None
+    }
+
+    val base = components
       .join(compIds, "component")
       .join(incident, Seq("id"), "left")
-      .select(
-        $"id".as("mentionId"),
-        $"clusterId",
-        confidence(coalesce($"best", lit(0.0)), threshold).as("confidence"))
+    val withFloor = confFloor.fold(base)(f => base.join(f, Seq("id"), "left"))
+    withFloor.select(
+      $"id".as("mentionId"),
+      $"clusterId",
+      (if (confFloor.isDefined)
+         greatest(confidence(coalesce($"best", lit(0.0)), threshold),
+           coalesce($"kbConfidence", lit(0.0)))
+       else confidence(coalesce($"best", lit(0.0)), threshold)).as("confidence"))
   }
 }

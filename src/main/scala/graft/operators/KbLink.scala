@@ -166,14 +166,18 @@ object KbLink {
   }
 
   /** Accepted anchors only — the `kbAnchors` frame Pipeline/Decisions expect:
-    * (id, kbId, kbScore).
+    * (id, kbId, kbScore, kbConfidence). kbConfidence carries the title-only
+    * fallback's 0.8 (reference :75-80) through to the decision stage, which
+    * otherwise re-derives confidence from kbScore and would floor a
+    * below-threshold exact-title link at 0.55.
     */
   def anchors(mentions: DataFrame, kb: DataFrame,
               w: KbWeights = KbWeights.default,
               conf: GraftConf = GraftConf()): DataFrame =
     link(mentions, kb, w, conf)
       .where(col("accepted"))
-      .select(col("id"), col("kbId"), col("kbScore"))
+      .select(col("id"), col("kbId"), col("kbScore"),
+        col("confidence").as("kbConfidence"))
 
   /** A8 — back-off re-linking (RunKBPEntityLinkerSystem.scala:83-108),
     * composed from P5 + the candidate join + an argmax window: for mentions
@@ -195,13 +199,14 @@ object KbLink {
         explode(Aliases.backoffStrings(col("name"), col("entityString")))
           .as("entityString"))
 
-    val zThreshold = math.log(conf.linkThreshold / (1.0 - conf.linkThreshold))
-    val scored = link(eligible, kb, w, conf) // top-1 per (id) across back-offs:
     // link() windows per id, and eligible repeats id per back-off string, so
-    // its row_number already selects the argmax over all back-off candidates.
-    scored
-      .where(col("z") > lit(zThreshold) || col("exactTitle"))
-      .select(col("id"), col("kbId"), col("kbScore"))
+    // its row_number already selects the argmax over all back-off candidates;
+    // its `accepted` column IS the A8 acceptance rule (above threshold or
+    // exact KB name match) — single source, same as anchors()
+    link(eligible, kb, w, conf)
+      .where(col("accepted"))
+      .select(col("id"), col("kbId"), col("kbScore"),
+        col("confidence").as("kbConfidence"))
   }
 
   /** C4 — type-conditional reroute (RunKBPEntityLinkerSystem.scala:131-147 +
@@ -229,15 +234,17 @@ object KbLink {
       .select(col("id"))
 
     val zThreshold = math.log(conf.linkThreshold / (1.0 - conf.linkThreshold))
-    // re-query: candidates restricted to toType, best above threshold
+    // re-query: candidates restricted to toType, best above threshold;
+    // rerouted links carry the reference's fixed confidence 0.7 (:139)
     val rerouted = link(
       mentions.join(toFix, Seq("id")),
       kb.where(col("kbType") === toType), w, conf)
       .where(col("z") > lit(zThreshold))
-      .select(col("id"), col("kbId"), lit(0.7).as("kbScore")) // reference conf .7
+      .select(col("id"), col("kbId"), col("kbScore"),
+        lit(0.7).as("kbConfidence"))
 
     anchorsDf.join(toFix, Seq("id"), "left_anti") // drop gated fromType anchors
-      .unionByName(rerouted) // re-add only those that found a typed entity
+      .unionByName(rerouted, allowMissingColumns = true)
   }
 
   /** Uniform-weight hashed term vectors for KB intro text (the docSimScore

@@ -91,9 +91,12 @@ object Reports {
       val row = (pid, later); later = math.max(later, m); row
     }.toSeq.toDF("pid", "pBestLater")
 
-    local.join(broadcast(laterMax), "pid")
+    val out = local.join(broadcast(laterMax), "pid")
       .withColumn("precisionAtBest", greatest($"pBestLocal", $"pBestLater"))
       .select($"rank", $"score", $"precision", $"recall", $"precisionAtBest")
+      .localCheckpoint(true) // materialize, then release the cached input
+    parts.unpersist()
+    out
   }
 
   /** G11 — threshold finder (LinkClassifier.scala:36-86): the reference runs

@@ -179,12 +179,15 @@ object SimilaritySearch {
       .select(col("qid"), col("qv"), col("qnorm"), col("cid"))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
-    assigned.join(broadcast(probeCids), "cid")
+    val out = assigned.join(broadcast(probeCids), "cid")
       .where(col("id") =!= col("qid"))
       .withColumn("cos", cosineCol)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("id"), col("cos"), col("rank"))
+      .localCheckpoint(true) // materialize (top-k rows: tiny) before releasing c
+    c.unpersist()
+    out
   }
 
   /** Per-probe recall of the IVF path against exact brute force. */

@@ -59,4 +59,16 @@ object Checkpoint {
   /** Deterministic config hash for lineage (content-derived, no wall-clock). */
   def hash(parts: Any*): String =
     java.lang.Long.toHexString(parts.map(_.toString).mkString("|").hashCode.toLong & 0xffffffffL)
+
+  /** Cheap CONTENT fingerprint of a small/medium side frame (KB table,
+    * anchors, extractions): schema + row count + order-insensitive bit_xor
+    * of per-row JSON hashes — one map-side-combinable pass, so an edit that
+    * keeps the row count constant still changes the hash.
+    */
+  def fingerprint(df: DataFrame): String = {
+    val row = df
+      .select(xxhash64(to_json(struct(df.columns.map(col): _*))).as("h"))
+      .agg(count(lit(1)), coalesce(bit_xor(col("h")), lit(0L))).head()
+    s"${df.schema.catalogString}|${row.getLong(0)}|${row.getLong(1)}"
+  }
 }

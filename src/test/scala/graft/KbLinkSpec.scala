@@ -84,7 +84,7 @@ class KbLinkSpec extends SparkSpec {
     assert(anchors.select($"kbId").distinct().as[String].collect().toSeq == Seq("E000003"))
     val gate = $"id" === "m1" // play the sportsSense gate for m1 only
     val rerouted = KbLink.typeReroute(m, anchors, kb, gate, "location", "team")
-      .as[(String, String, Double)].collect().map(r => r._1 -> r._2).toMap
+      .select($"id", $"kbId").as[(String, String)].collect().toMap
     // m1: gate fired but no team candidate scores above threshold for
     // "seattle" vs "seattle sounders" -> anchor dropped (fresh NIL downstream)
     assert(!rerouted.contains("m1"))

@@ -58,6 +58,20 @@ class ScoringSpec extends SparkSpec {
     assert(got("m3") == "NIL:m3")
   }
 
+  test("title-fallback anchor confidence floors the decision at 0.8") {
+    // exact-title link whose classifier score is BELOW threshold: the
+    // reference emits it at fixed confidence 0.8 (kbTitleToIdMap path);
+    // without the kbConfidence floor the F11 map would collapse it to 0.55
+    val components = Seq(("m1", "m1")).toDF("id", "component")
+    val accepted = Seq.empty[(String, String, Double)]
+      .toDF("leftId", "rightId", "score")
+    val kb = Seq(("m1", "E0042", 0.5, 0.8))
+      .toDF("id", "kbId", "kbScore", "kbConfidence")
+    val got = Decisions.assemble(components, accepted, Some(kb), 0.93)
+      .as[(String, String, Double)].head()
+    assert(got == (("m1", "E0042", 0.8)))
+  }
+
   test("blocking skew guard: oversized blocks dropped with overflow metrics") {
     val conf = GraftConf(maxBlockSize = 3)
     val rows = (0 until 10).map(i => (s"id$i", Seq("hot", s"cold$i"))) // "hot" block size 10 > 3
