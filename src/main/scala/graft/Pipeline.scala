@@ -94,13 +94,14 @@ object Pipeline {
     import spark.implicits._
     val cp = new Checkpoint(spark, checkpointRoot)
     // hash covers EVERYTHING that changes stage outputs: conf, weights, the
-    // alias dictionary, an input fingerprint (row count + schema — cheap:
-    // parquet metadata only), and CONTENT fingerprints of the small/medium
-    // side frames (kb, directly-passed anchors, extractions) — a KB edit
-    // that keeps the row count constant must still invalidate the cache.
+    // alias dictionary, the corpus input fingerprint (file paths + sizes +
+    // mtimes — still parquet-metadata-only, but unlike the old row-count+
+    // schema hash it catches same-cardinality content edits; ADVICE r2), and
+    // CONTENT fingerprints of the small/medium side frames (kb, directly-
+    // passed anchors, extractions).
     val h = Checkpoint.hash(conf, weights, kbWeights,
       aliasDict.toSeq.sorted.mkString(","),
-      files.count(), files.schema.catalogString,
+      Checkpoint.inputFingerprint(files),
       kb.map(Checkpoint.fingerprint).getOrElse("nokb"),
       kbAnchors.map(Checkpoint.fingerprint).getOrElse("noanchors"),
       extractions.map(Checkpoint.fingerprint).getOrElse("noext"))

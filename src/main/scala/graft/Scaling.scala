@@ -27,9 +27,9 @@ object Scaling {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
     }
-    def runOnce(cpus: Int): (Long, Double) = {
+    def runOnce(cpus: Int): Bench.Rep = {
       val spark = session(cpus)
-      val r = Bench.pipelineThroughput(spark, families)
+      val r = Bench.pipelineThroughput(spark, Bench.materializedCorpus(spark, families))
       close(spark)
       r
     }
@@ -37,7 +37,8 @@ object Scaling {
     // one full-size warm-up (not measured): the FIRST full-size run in a JVM
     // pays one-time heap-growth + JIT-at-scale costs (~2-4x). JIT state is
     // JVM-wide, so it survives the session rebuilds below.
-    { val s = session(8); Bench.pipelineThroughput(s, families); close(s) }
+    { val s = session(8)
+      Bench.pipelineThroughput(s, Bench.materializedCorpus(s, families)); close(s) }
 
     // INTERLEAVE the parallelism levels (8,32,8,32,...) so both sample the
     // same shared-CPU contention regime — measuring all local[8] reps first
@@ -45,11 +46,14 @@ object Scaling {
     // one level and corrupt the ratio (observed: a spike during the 32-phase
     // turned a ~1.7x speedup into 1.06x). Best-of-reps per level.
     val runs = (0 until reps).map(_ => (runOnce(8), runOnce(32)))
-    val pairs8 = runs.head._1._1
-    val pairs32 = runs.head._2._1
+    val pairs8 = runs.head._1.pairs
+    val pairs32 = runs.head._2.pairs
     require(pairs8 == pairs32, s"nondeterministic pair count: $pairs8 vs $pairs32")
-    val reps8 = runs.map(_._1._2)
-    val reps32 = runs.map(_._2._2)
+    val reps8 = runs.map(_._1.sec)
+    val reps32 = runs.map(_._2.sec)
+    val loads = runs.flatMap(r => Seq(r._1, r._2))
+      .map(x => f"[${x.loadBefore}%.2f,${x.loadAfter}%.2f]")
+      .mkString("[", ",", "]")
     val t8 = reps8.min
     val t32 = reps32.min
     val thr8 = pairs8 / t8
@@ -59,7 +63,7 @@ object Scaling {
     val effNorm = (t8 / t32) / ceiling
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"pairs":$pairs8%d,"t_local8_sec":$t8%.3f,"t_local32_sec":$t32%.3f,"reps_local8_sec":${arr(reps8)}%s,"reps_local32_sec":${arr(reps32)}%s,"pairs_per_sec_local8":$thr8%.1f,"pairs_per_sec_local32":$thr32%.1f,"hw_ceiling_speedup_8_to_32":$ceiling%.2f,"efficiency_vs_hw_ceiling":$effNorm%.3f,"families":$families%d}""")
+      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"pairs":$pairs8%d,"t_local8_sec":$t8%.3f,"t_local32_sec":$t32%.3f,"reps_local8_sec":${arr(reps8)}%s,"reps_local32_sec":${arr(reps32)}%s,"pairs_per_sec_local8":$thr8%.1f,"pairs_per_sec_local32":$thr32%.1f,"hw_ceiling_speedup_8_to_32":$ceiling%.2f,"efficiency_vs_hw_ceiling":$effNorm%.3f,"reps_loadavg":$loads%s,"families":$families%d}""")
   }
 
   /** Measure what THIS machine can deliver going 8 → 32 plain JVM threads on

@@ -25,7 +25,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val files = SynthCorpus.corpus(spark)
     Pipeline.run(spark, files, SynthCorpus.aliasDict,
-      kb = Some(SynthCorpus.kb(spark))).decisions
+      kb = Some(SynthCorpus.kb(spark)),
+      extractions = Some(SynthCorpus.extractions(spark))).decisions
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -396,6 +397,40 @@ object SparkEntry {
           Aliases.bestExpansion($"name", $"cands").as("expanded"))
         .orderBy($"p_partkey")
     }),
+    // A3/F14/P7 full semantics — gazetteer-validated "member, container"
+    // expansion (findBestLocationString / locationContainsLocation /
+    // expandStateAbbreviation): candidates validated against a broadcast
+    // region→nations gazetteer, abbreviated containers resolved first;
+    // shortest valid wins, else fall back to the name
+    "q_location_expand" -> ((s, d) => {
+      import s.implicits._
+      val n = t(s, d, "nation").select($"n_nationkey", $"n_name", $"n_regionkey")
+      val r = t(s, d, "region").select($"r_regionkey", $"r_name")
+      // gazetteer + abbr dictionary are the broadcast dimension (typedlit
+      // maps, same altitude as the alias dictionary — north_rule J1)
+      val gazRows = n.join(r, $"n_regionkey" === $"r_regionkey")
+        .select(lower($"r_name").as("c"), lower($"n_name").as("m"))
+        .as[(String, String)].collect()
+      val gaz: Map[String, Seq[String]] =
+        gazRows.groupBy(_._1).map { case (c, ms) => c -> ms.map(_._2).toSeq.sorted }
+      val abbrs: Map[String, String] = r.select(lower($"r_name")).as[String]
+        .collect().map(full => full.take(3) -> full).toMap
+      val m = n.join(r.as("cr"), $"n_regionkey" === $"cr.r_regionkey")
+        .join(r.as("wr"), pmod($"n_regionkey" + 2, lit(5)) === $"wr.r_regionkey")
+        .select($"n_nationkey".as("id"), $"n_name".as("name"),
+          concat($"n_name", lit(", "), $"cr.r_name").as("c1"),
+          concat($"n_name", lit(", "), substring($"cr.r_name", 1, 3)).as("c2"),
+          concat($"n_name", lit(", "), $"wr.r_name").as("c3"),
+          concat($"n_name", lit(" "), $"cr.r_name").as("c4"))
+        .withColumn("cands",
+          when($"id" % 3 === 0, array($"c3", $"c1", $"c4"))       // full container wins
+            .when($"id" % 3 === 1, array($"c3", $"c2", $"c1"))    // abbr resolves, shortest
+            .otherwise(array($"c3", $"c4")))                       // nothing valid: fallback
+      m.select($"id", $"name",
+          Aliases.bestLocationExpansion($"name", $"cands",
+            typedlit(gaz), typedlit(abbrs)).as("expanded"))
+        .orderBy($"id")
+    }),
     // J7 anti-join (reference gold-minus-system set difference)
     "q_anti_join" -> ((s, d) => {
       import s.implicits._
@@ -560,10 +595,12 @@ object SparkEntry {
         .orderBy($"fold")
     }),
     // full pipeline on the synthetic corpus (smoke within queries), with the
-    // KB stage on: decisions carry real E* ids for anchored families
+    // KB stage AND the F10 extraction side table on: decisions carry real E*
+    // ids for anchored families, and scored pairs carry linkSim end-to-end
     "q_pipeline_decisions" -> ((s, _) => {
       Pipeline.run(s, SynthCorpus.corpus(s), SynthCorpus.aliasDict,
-        kb = Some(SynthCorpus.kb(s))).decisions
+        kb = Some(SynthCorpus.kb(s)),
+        extractions = Some(SynthCorpus.extractions(s))).decisions
     }),
     // B1 KB half — mention→KB candidate linking (the reference flagship,
     // RunKBPEntityLinkerSystem.scala:56-128): mentions from part names, KB =
@@ -989,7 +1026,7 @@ object SparkEntry {
         |  FROM feats),
         |top1 AS (
         |  SELECT * FROM (SELECT *, row_number() OVER
-        |    (PARTITION BY id ORDER BY z DESC, kbId) AS rn FROM zz)
+        |    (PARTITION BY id ORDER BY exact DESC, z DESC, kbId) AS rn FROM zz)
         |  WHERE rn = 1)
         |SELECT id, kbId, kbName, round(z, 6) AS z, exact AS exactTitle,
         |  (z > ln(0.93/0.07) OR exact) AS accepted
@@ -1024,6 +1061,56 @@ object SparkEntry {
         |       FILTER (WHERE ext_ok))[1] AS ext_pick
         |  FROM f GROUP BY p_partkey)
         |SELECT p_partkey, name, coalesce(acr_pick, ext_pick, name) AS expanded
-        |FROM pick ORDER BY p_partkey""".stripMargin
+        |FROM pick ORDER BY p_partkey""".stripMargin,
+    "q_location_expand" ->
+      """WITH gaz AS (
+        |  SELECT lower(r_name) AS container, lower(n_name) AS member
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |ab AS (SELECT lower(substring(r_name, 1, 3)) AS a,
+        |         lower(r_name) AS fullc FROM region),
+        |m AS (
+        |  SELECT id, name,
+        |    CASE WHEN id % 3 = 0 THEN [c3, c1, c4]
+        |         WHEN id % 3 = 1 THEN [c3, c2, c1]
+        |         ELSE [c3, c4] END AS cands
+        |  FROM (SELECT n_nationkey AS id, n_name AS name,
+        |          n_name || ', ' || cr.r_name AS c1,
+        |          n_name || ', ' || substring(cr.r_name, 1, 3) AS c2,
+        |          n_name || ', ' || wr.r_name AS c3,
+        |          n_name || ' ' || cr.r_name AS c4
+        |        FROM nation
+        |        JOIN region cr ON n_regionkey = cr.r_regionkey
+        |        JOIN region wr ON (n_regionkey + 2) % 5 = wr.r_regionkey)),
+        |ex AS (SELECT id, name, unnest(cands) AS c FROM m),
+        |p AS (SELECT id, name, c,
+        |        string_split_regex(c, ',\s+') AS parts FROM ex),
+        |v AS (SELECT p.id, p.c
+        |      FROM p
+        |      LEFT JOIN ab ON lower(p.parts[2]) = ab.a
+        |      JOIN gaz g ON g.container = coalesce(ab.fullc, lower(p.parts[2]))
+        |                AND g.member = lower(p.parts[1])
+        |      WHERE len(p.parts) = 2 AND lower(p.parts[1]) = lower(p.name)),
+        |pick AS (SELECT id, (array_agg(c ORDER BY length(c), c))[1] AS best
+        |         FROM v GROUP BY id)
+        |SELECT m.id, m.name, coalesce(pick.best, m.name) AS expanded
+        |FROM m LEFT JOIN pick ON m.id = pick.id ORDER BY m.id""".stripMargin,
+    // Golden-parquet oracles (VERDICT r2 #4): these operators are not
+    // SQL-expressible (minhash permutations / simhash bit math / winnowing),
+    // but their inputs are the driver's SEEDED read-only sf0.01 tables, so
+    // the correct output is a fixed artifact. The goldens are committed
+    // under src/test/resources/golden (regenerate: sbt "Test/runMain
+    // graft.GoldenGen") and compared by DuckDB like any other oracle.
+    "q_minhash_dedup" ->
+      """SELECT * FROM read_parquet(
+        |  '/root/repo/src/test/resources/golden/q_minhash_dedup.parquet/*.parquet')""".stripMargin,
+    "q_simhash_dedup" ->
+      """SELECT * FROM read_parquet(
+        |  '/root/repo/src/test/resources/golden/q_simhash_dedup.parquet/*.parquet')""".stripMargin,
+    "q_minhash_blocks" ->
+      """SELECT * FROM read_parquet(
+        |  '/root/repo/src/test/resources/golden/q_minhash_blocks.parquet/*.parquet')""".stripMargin,
+    "q_text_analysis" ->
+      """SELECT * FROM read_parquet(
+        |  '/root/repo/src/test/resources/golden/q_text_analysis.parquet/*.parquet')""".stripMargin
   )
 }

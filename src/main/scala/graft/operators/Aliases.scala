@@ -57,6 +57,43 @@ object Aliases {
       .otherwise(name)
   }
 
+  /** A3/F14/P7 — gazetteer-validated "name, Container" expansion
+    * (CorefHelperMethods.scala:426-509 `findBestLocationString`,
+    * `isValidLocation`/`locationContainsLocation` :537-590, and
+    * `expandStateAbbreviation` TipsterData.scala:93-108, reframed for the
+    * code domain: ecosystem→projects instead of state→cities).
+    *
+    * A candidate expansion is valid iff it splits as "member, container",
+    * the member equals the mention's name (case-insensitive), and the
+    * broadcast `gazetteer` map (lower(container) → array of lower(member))
+    * actually lists the member under that container — the containment check
+    * the round-2 rule family lacked ("Springfield, IL" vs "Springfield,
+    * MA"). Abbreviated containers resolve through `abbrMap`
+    * (lower(abbr) → lower(full container)) before the gazetteer lookup,
+    * playing `expandStateAbbreviation`. Shortest valid candidate wins
+    * (deterministic (length, candidate) tie-break, reference :158); falls
+    * back to the name itself.
+    *
+    * Both maps are Column literals (`typedlit`) — the gazetteer is the
+    * broadcast dimension, exactly like the alias dictionary (north_rule J1);
+    * the validation itself is row-local, no join, no shuffle.
+    */
+  def bestLocationExpansion(name: Column, candidates: Column,
+                            gazetteer: Column, abbrMap: Column): Column = {
+    val valid = filter(array_distinct(candidates), c => {
+      val parts = split(c, ",\\s+")
+      val member = lower(try_element_at(parts, lit(1)))
+      val container = lower(try_element_at(parts, lit(2)))
+      val resolved = coalesce(try_element_at(abbrMap, container), container)
+      size(parts) === 2 && member === lower(name) &&
+        coalesce(array_contains(try_element_at(gazetteer, resolved), member),
+          lit(false))
+    })
+    val shortest = array_min(transform(valid,
+      c => struct(length(c).as("l"), c.as("c")))).getField("c")
+    when(size(valid) > 0, shortest).otherwise(name)
+  }
+
   /** A5 — min positive distance of a candidate occurrence BEFORE the
     * mention offset (CorefHelperMethods.scala:243-260): the reference scans
     * every occurrence of the candidate in the raw doc and keeps

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Evaluation — pairwise P/R/F1 and B³ (reference Benchmarker.scala:39-135,
@@ -52,7 +52,22 @@ object Evaluation {
     * Expressed as two self-joins + hash aggregations — no per-cluster
     * collect.
     */
-  def b3(sys: DataFrame, gold: DataFrame): B3Scores = {
+  def b3(sys: DataFrame, gold: DataFrame): B3Scores =
+    b3Capped(sys, gold, Int.MaxValue)._1
+
+  /** B³ with a per-cluster expansion bound (VERDICT r2 scale-killer #3): the
+    * co-member self-joins go quadratic in the largest cluster — one
+    * million-member NIL blob is 10¹² join rows. Clusters above
+    * `maxClusterSize` have their CO-MEMBER side thinned to a deterministic
+    * ~maxClusterSize-member sample (keep iff xxhash64(id) mod ⌈size/cap⌉ =
+    * 0), making each mention's B³ term a sampled estimate over the giant
+    * cluster instead of an exact sum; every mention still contributes a
+    * term. Never silent: the second return is a metrics frame (side,
+    * cluster, size) listing every capped cluster — empty means the scores
+    * are exact.
+    */
+  def b3Capped(sys: DataFrame, gold: DataFrame,
+               maxClusterSize: Int): (B3Scores, DataFrame) = {
     val spark = sys.sparkSession
     import spark.implicits._
     val m = sys.select($"mentionId".as("id"), $"clusterId")
@@ -66,17 +81,36 @@ object Evaluation {
     val l = m.select($"id".as("lid"), $"clusterId".as("lc"), $"gold".as("lg"))
     val r = m.select($"id".as("rid"), $"clusterId".as("rc"), $"gold".as("rg"))
 
+    // deterministic co-member thinning for clusters above the cap
+    def thin(key: Column): (DataFrame, DataFrame) = {
+      if (maxClusterSize == Int.MaxValue) (r, spark.emptyDataset[(String, Long)].toDF("cluster", "size"))
+      else {
+        val sizes = r.groupBy(key.as("ck")).agg(count(lit(1)).as("sz"))
+        val kept = r.join(sizes, key === $"ck")
+          .where($"sz" <= maxClusterSize ||
+            pmod(xxhash64($"rid"),
+              ceil($"sz".cast("double") / maxClusterSize).cast("long")) === 0L)
+          .drop("ck", "sz")
+        (kept, sizes.where($"sz" > maxClusterSize)
+          .select($"ck".as("cluster"), $"sz".as("size")))
+      }
+    }
+    val (rSys, overSys) = thin($"rc")
+    val (rGold, overGold) = thin($"rg")
+
     // precision: pairs sharing a system cluster (incl. self-pairs)
-    val prec = l.join(r, $"lc" === $"rc")
+    val prec = l.join(rSys, $"lc" === $"rc")
       .groupBy($"lid")
       .agg(avg(when(($"lg" === $"rg") && linkOk, 1.0).otherwise(0.0)).as("p"))
       .agg(avg($"p")).head().getDouble(0)
     // recall: pairs sharing a gold cluster
-    val rec = l.join(r, $"lg" === $"rg")
+    val rec = l.join(rGold, $"lg" === $"rg")
       .groupBy($"lid")
       .agg(avg(when(($"lc" === $"rc") && linkOk, 1.0).otherwise(0.0)).as("r"))
       .agg(avg($"r")).head().getDouble(0)
     val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
-    B3Scores(prec, rec, f1)
+    val metrics = overSys.withColumn("side", lit("sys"))
+      .unionByName(overGold.withColumn("side", lit("gold")))
+    (B3Scores(prec, rec, f1), metrics)
   }
 }

@@ -97,6 +97,26 @@ object KbLink {
     * OR exact normalized title match; confidence = F11 map for scored links,
     * 0.8 for title-only fallback links (reference :75-80).
     *
+    * Single-pass shape (VERDICT r2 #8): the mention attributes ride THROUGH
+    * the key explode into one broadcast-hash join — the wide mention frame is
+    * scanned once and never re-shuffled into a join-back on id (the r2 plan
+    * paid a sort-merge join of the vector-carrying rows there). Key-level
+    * duplicates (a pair matching under both its "n:" and "p:" key) are
+    * removed by a row-local predicate instead of a shuffling `distinct`:
+    * keep the "n:" row, and a "p:" row only when the KB entity has no alias
+    * normalizing to the mention's normalized name (then no "n:" row exists).
+    * Normalized forms are precomputed per mention / per KB row, so no regex
+    * runs per candidate; every per-candidate expression is codegen. The only
+    * exchange of mention-derived rows is the per-mention top-1 window, which
+    * shuffles narrow (id, kbId, kbName, z, exactTitle) rows — vectors are
+    * pruned before it.
+    *
+    * The top-1 window orders by (exactTitle DESC, z DESC, kbId): the
+    * reference consults its kbTitleToIdMap independently of classifier
+    * ranking (RunKBPEntityLinkerSystem.scala:75-80), so an exact title match
+    * must not be shadowed by a higher-z fuzzy candidate under non-default
+    * weights (ADVICE r2).
+    *
     * Context cosine (docSimScore analogue) participates iff BOTH sides carry
     * vectors: mentions (vecH, vecW) from Mentions.prepare and kb
     * (introVecH, introVecW) from `introVectors`.
@@ -105,36 +125,45 @@ object KbLink {
            w: KbWeights = KbWeights.default,
            conf: GraftConf = GraftConf()): DataFrame = {
     val hasVec = mentions.columns.contains("vecH") && kb.columns.contains("introVecH")
+    val norm = (c: Column) => Mentions.normName(c)
 
-    val mCols = Seq(col("id"), col("entityString"), col("names"), col("abbrs")) ++
+    // mention side: normalized forms computed ONCE per mention, before the
+    // key explode fans out to candidates
+    val mAttrs = Seq(col("id"), col("entityString"),
+      norm(col("entityString")).as("mNorm"),
+      transform(col("names"), norm).as("namesNorm"),
+      transform(col("abbrs"), a => lower(a)).as("abbrsLower")) ++
       (if (hasVec) Seq(col("vecH"), col("vecW")) else Nil)
-    val m = mentions.select(mCols: _*)
+    val mKeyed = mentions.select(mAttrs :+
+      explode(nameKeys(col("entityString"), conf.prefixLen)).as("key"): _*)
 
+    // KB side (broadcast, tiny): exploded keys joined with precomputed
+    // normalized attributes — tiny × tiny, never touches the corpus
     val kbNames0 =
       if (kb.columns.contains("aliases"))
         array_union(array(col("kbName")), coalesce(col("aliases"), array().cast("array<string>")))
       else array(col("kbName"))
-    val kbCols = Seq(col("kbId"), col("kbName"), kbNames0.as("kbNames")) ++
+    val kbCols = Seq(col("kbId"), col("kbName"),
+      norm(col("kbName")).as("kbNameNorm"),
+      transform(kbNames0, norm).as("kbNorms"),
+      lower(Mentions.initialism(col("kbName"))).as("kbAbbrLower")) ++
       (if (hasVec) Seq(col("introVecH"), col("introVecW")) else Nil)
-    val kbSide = kb.select(kbCols: _*)
+    val kbWide = kbKeyed(kb, conf.prefixLen).join(broadcast(kb.select(kbCols: _*)), "kbId")
 
-    val joined = candidates(m, kb, conf)
-      .join(m, "id")
-      .join(broadcast(kbSide), "kbId")
+    val joined = mKeyed.join(broadcast(kbWide), "key")
+      // pair-dedup across keys, row-local (see Scaladoc): the "n:" row for
+      // this pair exists iff some KB alias normalizes to mNorm
+      .where(col("key").startsWith("n:") || !array_contains(col("kbNorms"), col("mNorm")))
 
     val levRaw = levenshtein(col("entityString"), col("kbName"), conf.levBound)
     val maxLen = greatest(length(col("entityString")), length(col("kbName")), lit(1))
-    val norm = (c: Column) => Mentions.normName(c)
 
     val feats = joined
       .withColumn("jw", jaro_winkler(col("entityString"), col("kbName")))
       .withColumn("lev",
         when(levRaw < 0, lit(0.0)).otherwise(lit(1.0) - levRaw / maxLen))
-      .withColumn("overlap",
-        arrays_overlap(transform(col("names"), norm), transform(col("kbNames"), norm)))
-      .withColumn("abbr",
-        arrays_overlap(transform(col("abbrs"), a => lower(a)),
-          array(lower(Mentions.initialism(col("kbName"))))))
+      .withColumn("overlap", arrays_overlap(col("namesNorm"), col("kbNorms")))
+      .withColumn("abbr", array_contains(col("abbrsLower"), col("kbAbbrLower")))
       .withColumn("cosine",
         if (hasVec)
           coalesce(sorted_vec_dot(col("vecH"), col("vecW"),
@@ -149,12 +178,18 @@ object KbLink {
       lit(w.cosine) * col("cosine")
     val zThreshold = math.log(conf.linkThreshold / (1.0 - conf.linkThreshold))
 
-    val top1 = Window.partitionBy(col("id")).orderBy(col("z").desc, col("kbId"))
-    feats
+    // prune to narrow rows BEFORE the per-mention window: the top-1 exchange
+    // moves (id, kbId, kbName, z, exactTitle) only, never vectors/arrays
+    val narrow = feats
       .withColumn("z", z)
+      .withColumn("exactTitle", col("mNorm") === col("kbNameNorm"))
+      .select(col("id"), col("kbId"), col("kbName"), col("z"), col("exactTitle"))
+
+    val top1 = Window.partitionBy(col("id"))
+      .orderBy(col("exactTitle").desc, col("z").desc, col("kbId"))
+    narrow
       .withColumn("rn", row_number().over(top1))
       .where(col("rn") === 1)
-      .withColumn("exactTitle", norm(col("entityString")) === norm(col("kbName")))
       .withColumn("accepted", col("z") > lit(zThreshold) || col("exactTitle"))
       .withColumn("kbScore", lit(1.0) / (lit(1.0) + exp(-col("z"))))
       .withColumn("confidence",

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.VecFunctions.minhash_bands
+import graft.plans.Lineage
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -156,15 +157,14 @@ object Mentions {
     val weighted = tf.join(df, "h")
       .select($"id", $"h",
         ($"tf" * (log((lit(n) + 1.0) / ($"df" + 1.0)) + 1.0)).as("w"))
-    val vecs = weighted
+    val vecs = Lineage.cut(weighted
       .groupBy($"id")
       .agg(sort_array(collect_list(struct($"h", $"w"))).as("hw"))
       .withColumn("norm", sqrt(aggregate($"hw", lit(0.0), (a, x) => a + x("w") * x("w"))))
       .select(
         $"id".as("vid"),
         transform($"hw", x => x("h")).as("vecH"),
-        transform($"hw", x => x("w") / $"norm").as("vecW"))
-      .localCheckpoint(true)
+        transform($"hw", x => x("w") / $"norm").as("vecW")))
     tf.unpersist()
     vecs
   }

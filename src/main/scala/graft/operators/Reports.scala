@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.plans.Lineage
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -91,11 +92,10 @@ object Reports {
       val row = (pid, later); later = math.max(later, m); row
     }.toSeq.toDF("pid", "pBestLater")
 
-    val out = local.join(broadcast(laterMax), "pid")
+    val out = Lineage.cut(local.join(broadcast(laterMax), "pid")
       .withColumn("precisionAtBest", greatest($"pBestLocal", $"pBestLater"))
-      .select($"rank", $"score", $"precision", $"recall", $"precisionAtBest")
-      .localCheckpoint(true) // materialize, then release the cached input
-    parts.unpersist()
+      .select($"rank", $"score", $"precision", $"recall", $"precisionAtBest"))
+    parts.unpersist() // materialized by the cut, then release the cached input
     out
   }
 
@@ -132,6 +132,56 @@ object Reports {
     ranked.groupBy($"fold")
       .agg(max(struct($"f1", $"score")).as("b"))
       .select($"fold", $"b.score".as("bestThreshold"), $"b.f1".as("bestF1"))
+  }
+
+  /** G11, full reference semantics — per-fold weight REFIT
+    * (LinkClassifier.scala:36-86 retrains on each 90% split before ranking
+    * the held-out 10%; the fixed-weight `bestThreshold` above only measures
+    * threshold stability). For each fold: deterministically sample ≤
+    * `sampleCap` examples from the fold's COMPLEMENT, fit logistic weights
+    * driver-side (`LogisticTrainer` — the reference trains Breeze LR on
+    * ≤3k pairs, so driver altitude is correct), then rank the held-out fold
+    * with THAT fold's weights and take the max-F1 threshold, reusing the
+    * fold-partitioned ranking of `bestThreshold`.
+    *
+    * Input: (id, label, <featureCols>...) (+ optional precomputed fold).
+    * Output: (fold, bestThreshold, bestF1) in σ(z) probability space.
+    */
+  def bestThresholdRefit(labeled: DataFrame, featureCols: Seq[String],
+                         folds: Int = 10, sampleCap: Int = 3000): DataFrame = {
+    import labeled.sparkSession.implicits._
+    val withFold =
+      if (labeled.columns.contains("fold")) labeled
+      else labeled.withColumn("fold", pmod(xxhash64($"id"), lit(folds.toLong)).cast("int"))
+    // one source pass cached; each fold then collects only its ≤sampleCap
+    // training sample to the driver
+    val cached = withFold.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val weights: Map[Int, Array[Double]] = (0 until folds).map { f =>
+      val rows = deterministicSample(cached.where($"fold" =!= f), Seq("id"), sampleCap)
+        .select(featureCols.map(c => col(c).cast("double")) :+
+          $"label".cast("double").as("y"): _*)
+        .collect()
+      val ex = rows.map(r => LogisticTrainer.Example(
+        Array.tabulate(featureCols.size)(i => r.getDouble(i)),
+        r.getDouble(featureCols.size))).toSeq
+      f -> LogisticTrainer.fit(ex)
+    }.toMap
+
+    // per-fold z with that fold's literal weights (a folds-deep when-chain —
+    // tiny, codegen-friendly, no join)
+    def zFor(w: Array[Double]): Column =
+      featureCols.zipWithIndex.foldLeft(lit(w(0))) { case (acc, (c, i)) =>
+        acc + lit(w(i + 1)) * col(c).cast("double")
+      }
+    val z = (0 until folds).foldLeft(lit(Double.NegativeInfinity)) { (acc, f) =>
+      when($"fold" === f, zFor(weights(f))).otherwise(acc)
+    }
+    val scored = cached.select($"id", $"fold",
+      (lit(1.0) / (lit(1.0) + exp(-z))).as("score"), $"label")
+    val out = Lineage.cut(bestThreshold(scored, folds))
+    cached.unpersist()
+    out
   }
 
   /** O6 — deterministic sampling (MentionPairTrainingData.scala:45-53):

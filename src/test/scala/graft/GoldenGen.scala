@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool (not a test): materializes golden result parquet for the
+  * deterministic non-SQL-expressible queries (VERDICT r2 #4 — the seeded
+  * inputs make minhash/simhash/banding/text-analysis outputs fixed, so a
+  * committed golden IS an oracle). The driver's DuckDB oracle then reads
+  * these files with read_parquet() and compares rows/schema/hash exactly
+  * like any SQL oracle.
+  *
+  * Regenerate (only after an intentional algorithm change) with:
+  *   sbt "Test/runMain graft.GoldenGen"
+  * Goldens are tied to /root/testdata/sf0.01 (the driver's correctness SF;
+  * TESTDATA.md marks the tables read-only/deterministic, seed=42).
+  */
+object GoldenGen {
+  val goldenQueries = Seq(
+    "q_minhash_dedup", "q_simhash_dedup", "q_minhash_blocks", "q_text_analysis")
+  val sfDir = "/root/testdata/sf0.01"
+  val outRoot = "/root/repo/src/test/resources/golden"
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-goldens")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    goldenQueries.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(s"$outRoot/$name.parquet")
+      println(s"golden $name: ${spark.read.parquet(s"$outRoot/$name.parquet").count()} rows")
+    }
+    spark.stop()
+  }
+}
