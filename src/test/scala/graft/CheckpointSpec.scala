@@ -91,4 +91,61 @@ class CheckpointSpec extends SparkSpec {
       assert(Files.exists(Path.of(s"$root/$s/_lineage")), s"missing lineage for $s")
     }
   }
+
+  test("fingerprint distinguishes duplicate-row multisets (sum, not xor — ADVICE r2)") {
+    // two frames, same row count, each all-duplicates: a bit_xor of per-row
+    // hashes cancels BOTH to 0 and collides; the decimal-sum must not
+    val a = Seq(("x", 1), ("x", 1)).toDF("k", "v")
+    val b = Seq(("y", 2), ("y", 2)).toDF("k", "v")
+    assert(Checkpoint.fingerprint(a) != Checkpoint.fingerprint(b))
+    // and swapping one duplicated pair for another at constant count
+    val c = Seq(("x", 1), ("x", 1), ("z", 3)).toDF("k", "v")
+    val d = Seq(("y", 2), ("y", 2), ("z", 3)).toDF("k", "v")
+    assert(Checkpoint.fingerprint(c) != Checkpoint.fingerprint(d))
+    // determinism across partitionings (order-insensitive combine)
+    assert(Checkpoint.fingerprint(c.repartition(7)) == Checkpoint.fingerprint(c))
+  }
+
+  test("inputFingerprint: same-cardinality content edit invalidates (ADVICE r2 medium)") {
+    val dir = tmpDir() + "/in"
+    Seq((1, "a")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    val f1 = Checkpoint.inputFingerprint(spark.read.parquet(dir))
+    Seq((1, "b")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    val f2 = Checkpoint.inputFingerprint(spark.read.parquet(dir))
+    assert(f1 != f2, "row-count-preserving content edit must change the input fingerprint")
+    // non-file-backed frames fall back to the content fingerprint
+    val mem = Seq((1, "a")).toDF("k", "v")
+    assert(Checkpoint.inputFingerprint(mem) == Checkpoint.fingerprint(mem))
+  }
+
+  test("Lineage.cut is reliable when a checkpoint dir is set; Rotating deletes stale rounds") {
+    import graft.plans.Lineage
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val root = tmpDir()
+    spark.sparkContext.setCheckpointDir(root)
+    try {
+      val appDir = new HPath(spark.sparkContext.getCheckpointDir.get)
+      val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      def rounds(): Set[String] =
+        if (fs.exists(appDir)) fs.listStatus(appDir).map(_.getPath.getName).toSet
+        else Set.empty
+
+      val cut = Lineage.cut(Seq(1, 2, 3).toDF("v"))
+      assert(cut.collect().map(_.getInt(0)).toSet == Set(1, 2, 3))
+      assert(rounds().nonEmpty, "cut() must write a RELIABLE checkpoint when a dir is set")
+
+      val before = rounds()
+      val rot = new Lineage.Rotating(Seq(1).toDF("v"))
+      val r1 = rot.cut(Seq(10, 20).toDF("v"))
+      val afterR1 = rounds()
+      assert((afterR1 -- before).size == 1, "first rotating cut adds one round")
+      val r2 = rot.cut(r1.withColumn("v", $"v" + 1))
+      val afterR2 = rounds()
+      // round 1's files are deleted once round 2 materializes; net count flat
+      assert(afterR2.size == afterR1.size, s"stale round not deleted: $afterR2 vs $afterR1")
+      val round1 = afterR1 -- before
+      assert(round1.forall(d => !afterR2.contains(d)), "round-1 dir should be gone")
+      assert(r2.collect().map(_.getInt(0)).toSet == Set(11, 21), "final round stays readable")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
 }

@@ -64,4 +64,22 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = cc(nodes, edges)
     assert(got.values.toSet == Set("s00"))
   }
+
+  test("driver endgame and star iteration agree exactly") {
+    // a messy deterministic graph: chains, a star, isolated nodes, dup edges
+    val rnd = new scala.util.Random(5)
+    val nodes = (0 until 120).map(i => f"n$i%03d")
+    val edges = (0 until 200).map { _ =>
+      val a = rnd.nextInt(120); val b = rnd.nextInt(120)
+      f"n$a%03d" -> f"n$b%03d"
+    }
+    val nodesDf = nodes.toDF("id")
+    val edgesDf = edges.toDF("src", "dst").repartition(13)
+    val viaDriver = ConnectedComponents.run(nodesDf, edgesDf)
+      .as[(String, String)].collect().toMap // contracted <= 500k => endgame
+    val viaStars = ConnectedComponents.run(nodesDf, edgesDf, driverFinishEdges = -1L)
+      .as[(String, String)].collect().toMap // forced distributed star path
+    assert(viaDriver == viaStars)
+    assert(viaDriver.size == 120)
+  }
 }

@@ -123,4 +123,38 @@ class DedupSpec extends SparkSpec {
     info(s"multi-table ANN avg recall@5 on isotropic vectors = $rec")
     assert(rec >= 0.85, s"multi-table LSH recall $rec too low")
   }
+
+  test("hot signature bucket: hundreds of identical embeddings dedup via the salted path") {
+    // 500 identical vectors share ONE hyperplane signature — that bucket is a
+    // hot key far above saltThreshold(64); embeddingCosine routes pairs
+    // through Blocking.candidatePairs (VERDICT r2 #2), so the O(n²) pair
+    // expansion spreads over S(S+1)/2 shuffle keys instead of one, and the
+    // full group must still come out (no cap drop, no missed pair)
+    val v = (0 until 16).map(i => math.sin(i + 1)).toSeq
+    val other = (0 until 16).map(i => math.cos(3 * i + 2)).toSeq
+    val rows = (0 until 500).map(i => (f"e$i%03d", v)) :+ (("zzz", other))
+    val df = rows.toDF("id", "vec")
+    val got = Dedup.embeddingCosine(df, "id", "vec", threshold = 0.99)
+      .as[(String, String)].collect().toMap
+    assert(got.values.count(_ == "e000") == 500, "all identical embeddings in one group")
+    assert(got("zzz") == "zzz")
+  }
+
+  test("ngramJaccard: blocks above maxBlockSize are dropped AND reported, never silent") {
+    val body = "the quick brown fox jumps over the lazy dog"
+    val hot = (0 until 20).map(i => (f"h$i%02d", "big", body))
+    val cold = Seq(("a", "small", body), ("b", "small", body))
+    val df = (hot ++ cold).toDF("id", "block", "text")
+    val r = Dedup.ngramJaccard(df, "id", "text", "block", n = 2, threshold = 0.5,
+      conf = GraftConf(maxBlockSize = 10))
+    val pairs = r.pairs.select($"leftId", $"rightId").as[(String, String)].collect().toSet
+    assert(pairs == Set(("a", "b")), "oversized block must not generate pairs")
+    val over = r.overflow.as[(String, Long)].collect().toMap
+    assert(over == Map("big" -> 20L), "dropped block must surface in the overflow frame")
+    // and with a cap that admits everything, the hot block pairs normally
+    val all = Dedup.ngramJaccard(df, "id", "text", "block", n = 2, threshold = 0.5,
+      conf = GraftConf(maxBlockSize = 256))
+    assert(all.pairs.count() == 20L * 19 / 2 + 1)
+    assert(all.overflow.isEmpty)
+  }
 }

@@ -222,4 +222,54 @@ class OperatorsSpec extends SparkSpec {
     assert(a == b)
     assert(a.length == 50)
   }
+
+  test("b3Capped: giant cluster thinned with metrics row; estimate near exact; small data exact") {
+    // mixed giant cluster: 360 gold-A + 40 gold-B members in one system
+    // cluster, plus a clean small cluster
+    val giant = (0 until 400).map(i =>
+      (f"g$i%03d", "NIL:g000", if (i < 360) "NIL:a" else "NIL:b"))
+    val small = Seq(("s1", "NIL:s1", "NIL:s"), ("s2", "NIL:s1", "NIL:s"))
+    val rows = giant ++ small
+    val sys = rows.map(r => (r._1, r._2)).toDF("mentionId", "clusterId")
+    val gold = rows.map(r => (r._1, r._3)).toDF("id", "gold")
+
+    val exact = Evaluation.b3(sys, gold)
+    val (capped, metrics) = Evaluation.b3Capped(sys, gold, maxClusterSize = 50)
+    // the capped run MUST report what it thinned (never silent); the giant
+    // cluster exceeds the cap on the sys side and gold-A on the gold side
+    val m = metrics.select($"side", $"cluster").as[(String, String)].collect().toSet
+    assert(m.contains(("sys", "NIL:g000")) && m.contains(("gold", "NIL:a")), s"metrics: $m")
+    // sampled estimate close to the exact score on a homogeneous-ish cluster
+    assert(math.abs(capped.precision - exact.precision) < 0.1,
+      s"capped P=${capped.precision} vs exact ${exact.precision}")
+    assert(math.abs(capped.recall - exact.recall) < 0.1)
+    // an uncapped run through the same code path is exactly b3
+    val (uncapped, noMetrics) = Evaluation.b3Capped(sys, gold, Int.MaxValue)
+    assert(uncapped == exact && noMetrics.isEmpty)
+  }
+
+  test("gazetteer-validated location expansion (A3/F14/P7): container membership decides") {
+    import org.apache.spark.sql.functions.typedlit
+    val gaz: Map[String, Seq[String]] = Map(
+      "america" -> Seq("canada", "brazil"), "europe" -> Seq("france"))
+    val ab: Map[String, String] = Map("ame" -> "america")
+    val rows = Seq(
+      // wrong container rejected, right container accepted
+      ("CANADA", Seq("CANADA, EUROPE", "CANADA, AMERICA", "CANADA AMERICA")),
+      // abbreviated container resolves and wins as the shortest valid
+      ("BRAZIL", Seq("BRAZIL, AMERICA", "BRAZIL, AME")),
+      // member must equal the mention's name — someone else's valid string
+      ("FRANCE", Seq("CANADA, AMERICA")),
+      // nothing valid at all -> fall back to the name
+      ("ZUNKNOWN", Seq("ZUNKNOWN, NOWHERE", "ZUNKNOWN ALONE")))
+      .toDF("name", "cands")
+    val got = rows.select($"name",
+        Aliases.bestLocationExpansion($"name", $"cands",
+          typedlit(gaz), typedlit(ab)).as("expanded"))
+      .as[(String, String)].collect().toMap
+    assert(got("CANADA") == "CANADA, AMERICA")
+    assert(got("BRAZIL") == "BRAZIL, AME")
+    assert(got("FRANCE") == "FRANCE")
+    assert(got("ZUNKNOWN") == "ZUNKNOWN")
+  }
 }

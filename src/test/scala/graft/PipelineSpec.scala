@@ -82,4 +82,25 @@ class PipelineSpec extends SparkSpec {
       .where($"hasRoot" === 0).count()
     assert(orphan == 0)
   }
+
+  test("extraction side table feeds linkSim end-to-end (F10, driver-contract path)") {
+    val r = Pipeline.run(spark, files, SynthCorpus.aliasDict,
+      extractions = Some(SynthCorpus.extractions(spark)))
+    // within-family pairs share family-correlated fbids -> linkSim must be
+    // strictly positive on scored pairs whose sides share a block
+    val withGold = r.scored
+      .join(gold.select($"id".as("leftId"), $"gold".as("lg")), "leftId")
+      .join(gold.select($"id".as("rightId"), $"gold".as("rg")), "rightId")
+    val fam = withGold.where($"lg" === $"rg")
+    assert(fam.count() > 0)
+    val minFam = fam.agg(min($"linkSim")).head().getDouble(0)
+    assert(minFam > 0.5, s"within-family linkSim should be high, min=$minFam")
+    // cross-family pairs share only the fb:common noise id -> small, nonzero
+    val cross = withGold.where($"lg" =!= $"rg")
+    if (cross.count() > 0) {
+      val maxCross = cross.agg(max($"linkSim")).head().getDouble(0)
+      assert(maxCross < 0.5, s"cross-family linkSim should be small, max=$maxCross")
+    }
+    r.mentions.unpersist(); r.scored.unpersist(); r.components.unpersist()
+  }
 }

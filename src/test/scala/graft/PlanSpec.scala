@@ -90,4 +90,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"))
     assert(!plan.contains("SortMergeJoin"), "exact dedup must not self-join")
   }
+
+  test("KbLink.link: exactly one shuffle — the top-1 window; mentions never re-shuffled") {
+    // VERDICT r2 #8: the r2 plan re-shuffled the wide mention frame into a
+    // sort-merge join-back on id; the single-pass shape carries mention
+    // attributes through the key explode, so the ONLY shuffle of
+    // mention-derived rows is the narrow per-mention window exchange
+    val files = SynthCorpus.corpus(spark, 6, 4)
+    val conf = GraftConf()
+    // persist + materialize the mention frame first, exactly as Pipeline.run
+    // does — the assertion is about KbLink.link's OWN plan on top of it
+    val mentions = Mentions.prepare(spark, files, SynthCorpus.aliasDict, conf).persist()
+    mentions.count()
+    val kb = KbLink.introVectors(SynthCorpus.kb(spark, 6), "intro")
+    val linked = KbLink.link(mentions, kb, KbWeights.default, conf)
+    val plan = executed(linked)
+    mentions.unpersist()
+    val shuffles = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1,
+      s"expected exactly 1 shuffle (the window), got $shuffles in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "mention frame must not be sort-merge re-joined")
+  }
 }

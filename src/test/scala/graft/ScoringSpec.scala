@@ -176,4 +176,35 @@ class ScoringSpec extends SparkSpec {
     assert(same._5 > 0.93)
     assert(got("c")._5 < 0.93)
   }
+
+  test("bestThresholdRefit: per-fold refit is deterministic and tracks the training data (G11 full)") {
+    // separable labeled data: label = (f1 > 0.5); two explicit folds
+    def labeled(flipFold: Option[Int]): org.apache.spark.sql.DataFrame = {
+      val rows = (0 until 200).map { i =>
+        val f1 = (i % 100) / 100.0
+        val fold = i / 100
+        val raw = f1 > 0.5
+        val label = if (flipFold.contains(fold)) !raw else raw
+        (s"x$i", label, f1, 1.0 - f1, fold)
+      }
+      rows.toDF("id", "label", "f1", "f2", "fold")
+    }
+    val base = Reports.bestThresholdRefit(labeled(None), Seq("f1", "f2"), folds = 2)
+      .orderBy($"fold").as[(Int, Double, Double)].collect().toSeq
+    assert(base.length == 2)
+    // separable data: every fold's refit weights rank it perfectly => F1 = 1
+    assert(base.forall(_._3 == 1.0), s"expected perfect per-fold F1: $base")
+    assert(base.forall(r => r._2 > 0.0 && r._2 < 1.0))
+    // determinism (driver fit is seeded by the deterministic sample)
+    val again = Reports.bestThresholdRefit(labeled(None), Seq("f1", "f2"), folds = 2)
+      .orderBy($"fold").as[(Int, Double, Double)].collect().toSeq
+    assert(base == again)
+    // REFIT semantics: inverting fold-1's labels retrains fold-0's weights on
+    // inverted data, so fold 0's threshold/F1 must move (fixed weights would
+    // leave fold 0 untouched — the r2 bestThreshold behavior)
+    val flipped = Reports.bestThresholdRefit(labeled(Some(1)), Seq("f1", "f2"), folds = 2)
+      .orderBy($"fold").as[(Int, Double, Double)].collect().toSeq
+    assert(flipped.head != base.head,
+      s"fold-0 threshold must track its (fold-1) training data: $flipped vs $base")
+  }
 }
