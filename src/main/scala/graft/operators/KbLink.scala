@@ -179,14 +179,21 @@ object KbLink {
     val zThreshold = math.log(conf.linkThreshold / (1.0 - conf.linkThreshold))
 
     // prune to narrow rows BEFORE the per-mention window: the top-1 exchange
-    // moves (id, kbId, kbName, z, exactTitle) only, never vectors/arrays
+    // moves (id, entityString, kbId, kbName, z, exactTitle) only, never
+    // vectors/arrays. entityString rides along so callers that explode
+    // several candidate strings per id (A7/A8) recover the winning string.
     val narrow = feats
       .withColumn("z", z)
       .withColumn("exactTitle", col("mNorm") === col("kbNameNorm"))
-      .select(col("id"), col("kbId"), col("kbName"), col("z"), col("exactTitle"))
+      .select(col("id"), col("entityString"), col("kbId"), col("kbName"),
+        col("z"), col("exactTitle"))
 
+    // entityString as the last tie-break: with candidate strings exploded
+    // per id (A7/A8), two strings can produce the identical (exact, z, kbId)
+    // triple — row_number must still be deterministic
     val top1 = Window.partitionBy(col("id"))
-      .orderBy(col("exactTitle").desc, col("z").desc, col("kbId"))
+      .orderBy(col("exactTitle").desc, col("z").desc, col("kbId"),
+        col("entityString"))
     narrow
       .withColumn("rn", row_number().over(top1))
       .where(col("rn") === 1)
@@ -196,8 +203,9 @@ object KbLink {
         when(col("z") > lit(zThreshold),
           Decisions.confidence(col("kbScore"), conf.linkThreshold))
           .otherwise(lit(0.8))) // title-only fallback, reference conf 0.8
-      .select(col("id"), col("kbId"), col("kbName"), col("z"), col("kbScore"),
-        col("exactTitle"), col("accepted"), col("confidence"))
+      .select(col("id"), col("entityString"), col("kbId"), col("kbName"),
+        col("z"), col("kbScore"), col("exactTitle"), col("accepted"),
+        col("confidence"))
   }
 
   /** Accepted anchors only — the `kbAnchors` frame Pipeline/Decisions expect:
@@ -280,6 +288,54 @@ object KbLink {
 
     anchorsDf.join(toFix, Seq("id"), "left_anti") // drop gated fromType anchors
       .unionByName(rerouted, allowMissingColumns = true)
+  }
+
+  /** A7 — linker-score dispatcher (CorefHelperMethods.scala:166-192,
+    * `identifyBestEntityStringByLinkerScore`; dead in the reference's main
+    * path, kept for surface parity): among the mention's name plus its coref
+    * string mentions (S6 sidecar column `corefMentions`), link EVERY
+    * candidate string and keep the one whose best KB entity scores highest —
+    * the reference's per-candidate `getBestEntity` loop becomes one
+    * explode → link() → per-id window, where link()'s existing top-1 over
+    * the exploded frame IS the joint argmax over (candidate, entity).
+    * Falls back to the name when no candidate reaches the KB (the
+    * reference's `bestScore = 0` initial state: any found link outranks the
+    * default). Deterministic where the reference's `toSet.toList` iteration
+    * order is not (documented divergence): ties break on
+    * (exactTitle, z, kbId, entityString).
+    *
+    * Adds `bestEntityString` to the mention frame.
+    */
+  def bestEntityStringByLinkerScore(mentions: DataFrame, kb: DataFrame,
+                                    w: KbWeights = KbWeights.default,
+                                    conf: GraftConf = GraftConf()): DataFrame = {
+    val empty = array().cast("array<string>")
+    val cands = mentions
+      .select(col("id"), explode(array_distinct(concat(array(col("name")),
+        coalesce(col("corefMentions"), empty)))).as("entityString"))
+      .withColumn("names", array(col("entityString")))
+      .withColumn("abbrs", array(Mentions.initialism(col("entityString"))))
+    val best = link(cands, kb, w, conf)
+      .select(col("id"), col("entityString").as("bestEntityString"))
+    mentions.join(best, Seq("id"), "left")
+      .withColumn("bestEntityString",
+        coalesce(col("bestEntityString"), col("name")))
+  }
+
+  /** F12 `nameAmbiguity` (LinkFeatures.scala:160-167) — dormant in the
+    * reference's active feature set, where it is an O(|KB|) title scan PER
+    * CALL; here the SURVEY-prescribed precomputed broadcast aggregate: the
+    * distinct mention names join the broadcast KB titles on containment
+    * once, and the count comes back as a per-name column. Returns
+    * (nameLower, nameAmbiguity = ln(1 + #titles containing the name)) for a
+    * broadcast join back onto mentions or candidates.
+    */
+  def nameAmbiguity(mentions: DataFrame, kb: DataFrame): DataFrame = {
+    val names = mentions.select(lower(col("entityString")).as("nameLower")).distinct()
+    names.join(broadcast(kb.select(lower(col("kbName")).as("titleLower"))),
+        col("titleLower").contains(col("nameLower")), "left")
+      .groupBy(col("nameLower"))
+      .agg(log(lit(1.0) + count(col("titleLower"))).as("nameAmbiguity"))
   }
 
   /** Uniform-weight hashed term vectors for KB intro text (the docSimScore

@@ -243,9 +243,12 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(capped.precision - exact.precision) < 0.1,
       s"capped P=${capped.precision} vs exact ${exact.precision}")
     assert(math.abs(capped.recall - exact.recall) < 0.1)
-    // an uncapped run through the same code path is exactly b3
+    // an uncapped run through the same code path matches b3 (tolerance:
+    // the distributed avg's merge order is partition-timing dependent)
     val (uncapped, noMetrics) = Evaluation.b3Capped(sys, gold, Int.MaxValue)
-    assert(uncapped == exact && noMetrics.isEmpty)
+    assert(math.abs(uncapped.precision - exact.precision) < 1e-9)
+    assert(math.abs(uncapped.recall - exact.recall) < 1e-9)
+    assert(noMetrics.isEmpty)
   }
 
   test("gazetteer-validated location expansion (A3/F14/P7): container membership decides") {

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators._
+import graft.sources.Sidecars
+import org.apache.spark.sql.functions._
+
+/** S6 external sidecar ingestion + the operators that consume it (A7
+  * linker-score dispatcher) and the F12 nameAmbiguity precomputed aggregate.
+  */
+class SidecarsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sidecar joins: coref mentions and NER struct with reference defaults on misses") {
+    val mentions = Seq(("q1", "acme"), ("q2", "globex")).toDF("id", "name")
+    val coref = Seq(("q1", Seq("acme corp", "the company"))).toDF("id", "mentions")
+    val ner = Seq(("q1", "ORGANIZATION", Seq("acme"), Seq("acme corp"),
+      Seq.empty[String], Seq.empty[String]))
+      .toDF("id", "qType", "matching", "orgs", "locs", "people")
+
+    val got = Sidecars.withNamedEntities(
+      Sidecars.withCorefMentions(mentions, coref), ner)
+    val byId = got.collect().map(r => r.getAs[String]("id") -> r).toMap
+
+    assert(byId("q1").getAs[scala.collection.Seq[String]]("corefMentions") == Seq("acme corp", "the company"))
+    assert(byId("q2").getAs[scala.collection.Seq[String]]("corefMentions") == Seq.empty)
+    val ner1 = byId("q1").getAs[org.apache.spark.sql.Row]("ner")
+    assert(ner1.getAs[String]("qType") == "ORGANIZATION")
+    assert(ner1.getAs[scala.collection.Seq[String]]("orgs") == Seq("acme corp"))
+    val ner2 = byId("q2").getAs[org.apache.spark.sql.Row]("ner")
+    assert(ner2.getAs[String]("qType") == "None", "missing sidecar row defaults to None")
+    assert(ner2.getAs[scala.collection.Seq[String]]("people") == Seq.empty)
+  }
+
+  test("reference text formats parse (tab line + 4-line groups)") {
+    val coref = Sidecars.parseCorefMentions(Seq(
+      "q1\tacme corp\tthe company", "q2\tglobex inc"))
+    assert(coref == Seq(("q1", Seq("acme corp", "the company")),
+      ("q2", Seq("globex inc"))))
+
+    val ner = Sidecars.parseNamedEntities(Seq(
+      "q1\tORGANIZATION\tacme",       // qId, qType, matching...
+      "q1\tORG\tacme corp\tacme inc", // orgs (first two fields dropped)
+      "q1\tLOC",                      // locs: none
+      "q1\tPER\tjane doe",            // people
+      "q2"))                          // trailing partial group ignored
+    assert(ner == Seq(("q1", "ORGANIZATION", Seq("acme"),
+      Seq("acme corp", "acme inc"), Seq.empty, Seq("jane doe"))))
+  }
+
+  test("A7 dispatcher: best-scoring coref candidate wins; no-candidate falls back to name") {
+    val kb = Seq(
+      ("E1", "kubernetes", Seq("k8s")),
+      ("E2", "tensorflow", Seq.empty[String]))
+      .toDF("kbId", "kbName", "aliases")
+    val mentions = Seq(
+      // name misses the KB, a coref mention is an exact title -> it wins
+      ("m1", "kuberntes-fork", Seq("kubernetes", "that cluster thing")),
+      // name itself is the best candidate
+      ("m2", "tensorflow", Seq("some lib")),
+      // nothing reaches the KB -> fallback to name
+      ("m3", "zzz-unknown", Seq("yyy-nothing")))
+      .toDF("id", "name", "corefMentions")
+    val got = KbLink.bestEntityStringByLinkerScore(mentions, kb)
+      .select($"id", $"bestEntityString").as[(String, String)].collect().toMap
+    assert(got("m1") == "kubernetes")
+    assert(got("m2") == "tensorflow")
+    assert(got("m3") == "zzz-unknown")
+  }
+
+  test("F12 nameAmbiguity: per-name count of containing KB titles, one broadcast aggregate") {
+    val kb = Seq("E1" -> "apache spark", "E2" -> "spark streaming", "E3" -> "flink")
+      .toDF("kbId", "kbName")
+    val mentions = Seq("a" -> "spark", "b" -> "flink", "c" -> "nothere")
+      .toDF("id", "entityString")
+    val got = KbLink.nameAmbiguity(mentions, kb)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(got("spark") - math.log(3.0)) < 1e-12)  // 2 titles contain it
+    assert(math.abs(got("flink") - math.log(2.0)) < 1e-12)  // 1 title
+    assert(got("nothere") == 0.0)                            // ln(1+0)
+  }
+}
