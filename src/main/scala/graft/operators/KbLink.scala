@@ -338,6 +338,50 @@ object KbLink {
       .agg(log(lit(1.0) + count(col("titleLower"))).as("nameAmbiguity"))
   }
 
+  /** F12 — the reference's DORMANT link-feature set (LinkFeatures.scala:
+    * 24-173; the active set is `Seq(candidateScore, docSimScore)` at :175,
+    * mirrored by `link()`'s z features). Exposed for parity and calibration:
+    * every feature is a pure column expression over a candidate frame
+    * carrying (name, entityString, kbName) — plus, when their inputs are
+    * present, `doc` (docType), `inlinks` (inlinkScore), `corefMentions`
+    * (corefContextLength, S6 sidecar), and `nerMatching`/`kbNamedEntities`
+    * (namedEntityOverlap — arrays_overlap instead of the reference's per-row
+    * sidecar scan). `nameAmbiguity` joins the precomputed broadcast
+    * aggregate from `nameAmbiguity()` rather than scanning the KB per row.
+    */
+  def dormantFeatures(cands: DataFrame,
+                      ambiguity: Option[DataFrame] = None): DataFrame = {
+    val has = (c: String) => cands.columns.contains(c)
+    val words = (c: Column, re: String) => size(split(c, re)).cast("double")
+    var out = cands
+      .withColumn("originalNameMatch",
+        when(col("name") === col("kbName"), 1.0).otherwise(0.0))
+      .withColumn("fullNameMatch",
+        when(col("entityString") === col("kbName"), 1.0).otherwise(0.0))
+      .withColumn("fullNameFound",
+        when(col("name") =!= col("entityString"), 1.0).otherwise(0.0))
+      .withColumn("fullNameLength", words(col("entityString"), "[\\s,]+"))
+      .withColumn("originalNameLength", words(col("name"), "[\\s,]+"))
+      .withColumn("nameLength", words(col("entityString"), " "))
+    if (has("doc")) out = out.withColumn("docType",
+      when(col("doc").startsWith("eng"), 0.0).otherwise(1.0))
+    if (has("inlinks")) out = out.withColumn("inlinkScore",
+      log(col("inlinks").cast("double")))
+    if (has("corefMentions")) out = out.withColumn("corefContextLength",
+      aggregate(col("corefMentions"), lit(0.0),
+        (a, m) => a + size(split(m, " ")).cast("double")))
+    if (has("nerMatching") && has("kbNamedEntities"))
+      out = out.withColumn("namedEntityOverlap",
+        when(arrays_overlap(col("nerMatching"), col("kbNamedEntities")), 1.0)
+          .otherwise(0.0))
+    ambiguity.fold(out) { a =>
+      out.join(broadcast(a.withColumnRenamed("nameAmbiguity", "_amb")),
+          lower(col("name")) === col("nameLower"), "left")
+        .withColumn("nameAmbiguity", coalesce(col("_amb"), lit(0.0)))
+        .drop("nameLower", "_amb")
+    }
+  }
+
   /** Uniform-weight hashed term vectors for KB intro text (the docSimScore
     * side, LinkFeatures docSim over intro paragraphs): same xxhash64 term
     * space as Mentions.tfidfVectors so `sorted_vec_dot` aligns, weights

@@ -48,7 +48,6 @@ object Reports {
     val spark = scored.sparkSession
     val nParts = math.max(spark.sessionState.conf.numShufflePartitions / 2, 2)
 
-    val nPos = scored.agg(sum(when($"label", 1L).otherwise(0L))).head().getLong(0)
     val parts = scored
       .repartitionByRange(nParts, $"score".desc, $"leftId", $"rightId")
       .withColumn("pid", spark_partition_id())
@@ -62,11 +61,14 @@ object Reports {
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     // per-partition totals -> prefix offsets (rank, tp) for each pid;
-    // #partitions rows through the driver, never the data
+    // #partitions rows through the driver, never the data. The global
+    // positive count (recall denominator) is the sum of the same totals —
+    // no separate full-scan aggregation job for it
     val totals = parts.groupBy($"pid")
       .agg(count(lit(1)).as("n"), sum(when($"label", 1L).otherwise(0L)).as("p"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
+    val nPos = totals.map(_._3).sum
     var rankOff = 0L
     var tpOff = 0L
     val offsets = totals.map { case (pid, n, p) =>

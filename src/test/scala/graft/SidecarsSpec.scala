@@ -67,6 +67,42 @@ class SidecarsSpec extends SparkSpec {
     assert(got("m3") == "zzz-unknown")
   }
 
+  test("F12 dormant feature set: every column matches the reference's hand arithmetic") {
+    val kbAmb = Seq("E1" -> "acme corp").toDF("kbId", "kbName")
+    val cands = Seq(
+      ("q1", "acme", "acme corp", "acme corp", "engdoc1",
+        100L, Seq("acme corp of america"), Seq("acme"), Seq("acme", "road runner")),
+      ("q2", "globex", "globex", "initech", "xmldoc9",
+        1L, Seq.empty[String], Seq("globex"), Seq.empty[String]))
+      .toDF("id", "name", "entityString", "kbName", "doc",
+        "inlinks", "corefMentions", "nerMatching", "kbNamedEntities")
+    val amb = KbLink.nameAmbiguity(
+      Seq("a" -> "acme", "b" -> "globex").toDF("id", "entityString"), kbAmb)
+    val got = KbLink.dormantFeatures(cands, Some(amb)).collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+
+    val q1 = got("q1")
+    assert(q1.getAs[Double]("originalNameMatch") == 0.0)  // name != kbName
+    assert(q1.getAs[Double]("fullNameMatch") == 1.0)      // entityString == kbName
+    assert(q1.getAs[Double]("fullNameFound") == 1.0)      // name != entityString
+    assert(q1.getAs[Double]("docType") == 0.0)            // eng* doc
+    assert(q1.getAs[Double]("fullNameLength") == 2.0)
+    assert(q1.getAs[Double]("originalNameLength") == 1.0)
+    assert(q1.getAs[Double]("nameLength") == 2.0)
+    assert(q1.getAs[Double]("inlinkScore") == math.log(100.0))
+    assert(q1.getAs[Double]("corefContextLength") == 4.0) // words in coref context
+    assert(q1.getAs[Double]("namedEntityOverlap") == 1.0)
+    assert(math.abs(q1.getAs[Double]("nameAmbiguity") - math.log(2.0)) < 1e-12)
+
+    val q2 = got("q2")
+    assert(q2.getAs[Double]("fullNameMatch") == 0.0)
+    assert(q2.getAs[Double]("fullNameFound") == 0.0)
+    assert(q2.getAs[Double]("docType") == 1.0)
+    assert(q2.getAs[Double]("corefContextLength") == 0.0)
+    assert(q2.getAs[Double]("namedEntityOverlap") == 0.0)
+    assert(q2.getAs[Double]("nameAmbiguity") == 0.0)
+  }
+
   test("F12 nameAmbiguity: per-name count of containing KB titles, one broadcast aggregate") {
     val kb = Seq("E1" -> "apache spark", "E2" -> "spark streaming", "E3" -> "flink")
       .toDF("kbId", "kbName")
