@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.StringSim.jaro_winkler
 import graft.operators._
-import graft.sources.SynthCorpus
+import graft.sources.{Sidecars, SynthCorpus}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -429,6 +429,65 @@ object SparkEntry {
       m.select($"id", $"name",
           Aliases.bestLocationExpansion($"name", $"cands",
             typedlit(gaz), typedlit(abbrs)).as("expanded"))
+        // F15 locationCasing applied to the winner, as the reference does
+        // (findBestLocationString returns locationCasing(...), :491)
+        .withColumn("expanded_cased", Aliases.locationCasing($"expanded"))
+        .orderBy($"id")
+    }),
+    // F12 dormant link-feature set over a deterministic candidate frame:
+    // every feature is pure column arithmetic, nameAmbiguity is the
+    // precomputed broadcast containment aggregate
+    "q_dormant_features" -> ((s, d) => {
+      import s.implicits._
+      val base = t(s, d, "part").select($"p_partkey".as("id"),
+        split($"p_name", " ").getItem(0).as("name"),
+        $"p_name", $"p_brand", $"p_type", $"p_size")
+      val cands = base
+        .withColumn("entityString", when($"id" % 3 === 0, $"name").otherwise($"p_name"))
+        .withColumn("kbName", when($"id" % 4 === 0, $"entityString").otherwise($"p_brand"))
+        .withColumn("doc",
+          when($"id" % 2 === 0, concat(lit("eng_"), $"p_type"))
+            .otherwise(concat(lit("xml_"), $"p_type")))
+        .withColumn("inlinks", $"p_size" + 1)
+        .withColumn("corefMentions", array($"p_type", $"p_brand"))
+        .withColumn("nerMatching", array($"name"))
+        .withColumn("kbNamedEntities",
+          when($"id" % 5 === 0, array($"name")).otherwise(array($"p_brand")))
+      val amb = KbLink.nameAmbiguity(
+        base.select($"name".as("entityString")),
+        base.select($"p_name".as("kbName")).distinct())
+      KbLink.dormantFeatures(cands, Some(amb))
+        .select($"id", $"originalNameMatch", $"fullNameMatch", $"fullNameFound",
+          $"docType", round($"inlinkScore", 6).as("inlink_score"),
+          $"corefContextLength".as("coref_ctx_len"),
+          $"fullNameLength".as("full_name_len"),
+          $"originalNameLength".as("orig_name_len"),
+          $"nameLength".as("name_len"),
+          $"namedEntityOverlap".as("ne_overlap"),
+          round($"nameAmbiguity", 6).as("name_ambiguity"))
+        .orderBy($"id")
+    }),
+    // S6 sidecar ingestion: coref + NER side tables left-joined onto
+    // mentions with the reference's None/empty defaults (flattened to
+    // scalar columns for the driver compare)
+    "q_sidecar_join" -> ((s, d) => {
+      import s.implicits._
+      val c = t(s, d, "customer")
+      val mentions = c.select($"c_custkey".as("id"), $"c_name".as("name"))
+      val coref = c.where($"c_custkey" % 3 === 0)
+        .select($"c_custkey".as("id"), array($"c_mktsegment", $"c_name").as("mentions"))
+      val ner = c.where($"c_custkey" % 2 === 0)
+        .select($"c_custkey".as("id"), lit("ORGANIZATION").as("qType"),
+          array($"c_name").as("matching"), array($"c_mktsegment").as("orgs"),
+          array().cast("array<string>").as("locs"),
+          array($"c_name", $"c_name").as("people"))
+      Sidecars.withNamedEntities(Sidecars.withCorefMentions(mentions, coref), ner)
+        .select($"id", $"name",
+          size($"corefMentions").cast("long").as("n_coref"),
+          coalesce(try_element_at($"corefMentions", lit(1)), lit("")).as("coref_first"),
+          $"ner.qType".as("q_type"),
+          size($"ner.orgs").cast("long").as("n_orgs"),
+          size($"ner.people").cast("long").as("n_people"))
         .orderBy($"id")
     }),
     // J7 anti-join (reference gold-minus-system set difference)
@@ -1091,9 +1150,57 @@ object SparkEntry {
         |                AND g.member = lower(p.parts[1])
         |      WHERE len(p.parts) = 2 AND lower(p.parts[1]) = lower(p.name)),
         |pick AS (SELECT id, (array_agg(c ORDER BY length(c), c))[1] AS best
-        |         FROM v GROUP BY id)
-        |SELECT m.id, m.name, coalesce(pick.best, m.name) AS expanded
-        |FROM m LEFT JOIN pick ON m.id = pick.id ORDER BY m.id""".stripMargin,
+        |         FROM v GROUP BY id),
+        |exp AS (SELECT m.id, m.name, coalesce(pick.best, m.name) AS expanded
+        |        FROM m LEFT JOIN pick ON m.id = pick.id)
+        |SELECT id, name, expanded,
+        |  array_to_string(list_transform(string_split(expanded, ' '),
+        |    w -> CASE WHEN contains(w, '.') THEN w
+        |              ELSE upper(w[1]) || lower(w[2:]) END), ' ')
+        |    AS expanded_cased
+        |FROM exp ORDER BY id""".stripMargin,
+    "q_dormant_features" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS id, string_split(p_name, ' ')[1] AS name,
+        |         p_name, p_brand, p_type, p_size
+        |  FROM part),
+        |cand AS (
+        |  SELECT *,
+        |    CASE WHEN id % 4 = 0 THEN entityString ELSE p_brand END AS kbName,
+        |    CASE WHEN id % 2 = 0 THEN 'eng_' || p_type
+        |         ELSE 'xml_' || p_type END AS doc
+        |  FROM (SELECT *,
+        |          CASE WHEN id % 3 = 0 THEN name ELSE p_name END AS entityString
+        |        FROM base)),
+        |titles AS (SELECT DISTINCT p_name AS t FROM part),
+        |amb AS (
+        |  SELECT n.name, ln(1 + (SELECT count(*) FROM titles
+        |                         WHERE contains(lower(t), lower(n.name)))) AS a
+        |  FROM (SELECT DISTINCT name FROM base) n)
+        |SELECT c.id,
+        |  CAST(CASE WHEN c.name = c.kbName THEN 1 ELSE 0 END AS DOUBLE) AS originalNameMatch,
+        |  CAST(CASE WHEN c.entityString = c.kbName THEN 1 ELSE 0 END AS DOUBLE) AS fullNameMatch,
+        |  CAST(CASE WHEN c.name <> c.entityString THEN 1 ELSE 0 END AS DOUBLE) AS fullNameFound,
+        |  CAST(CASE WHEN starts_with(c.doc, 'eng') THEN 0 ELSE 1 END AS DOUBLE) AS docType,
+        |  round(ln(c.p_size + 1), 6) AS inlink_score,
+        |  CAST(len(string_split(c.p_type, ' '))
+        |     + len(string_split(c.p_brand, ' ')) AS DOUBLE) AS coref_ctx_len,
+        |  CAST(len(string_split_regex(c.entityString, '[\s,]+')) AS DOUBLE) AS full_name_len,
+        |  CAST(len(string_split_regex(c.name, '[\s,]+')) AS DOUBLE) AS orig_name_len,
+        |  CAST(len(string_split(c.entityString, ' ')) AS DOUBLE) AS name_len,
+        |  CAST(CASE WHEN c.id % 5 = 0 OR c.name = c.p_brand
+        |       THEN 1 ELSE 0 END AS DOUBLE) AS ne_overlap,
+        |  round(amb.a, 6) AS name_ambiguity
+        |FROM cand c JOIN amb ON c.name = amb.name
+        |ORDER BY c.id""".stripMargin,
+    "q_sidecar_join" ->
+      """SELECT c.c_custkey AS id, c.c_name AS name,
+        |  CAST(CASE WHEN c.c_custkey % 3 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_coref,
+        |  CASE WHEN c.c_custkey % 3 = 0 THEN c.c_mktsegment ELSE '' END AS coref_first,
+        |  CASE WHEN c.c_custkey % 2 = 0 THEN 'ORGANIZATION' ELSE 'None' END AS q_type,
+        |  CAST(CASE WHEN c.c_custkey % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_orgs,
+        |  CAST(CASE WHEN c.c_custkey % 2 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_people
+        |FROM customer c ORDER BY c.c_custkey""".stripMargin,
     // Golden-parquet oracles (VERDICT r2 #4): these operators are not
     // SQL-expressible (minhash permutations / simhash bit math / winnowing),
     // but their inputs are the driver's SEEDED read-only sf0.01 tables, so

@@ -94,6 +94,55 @@ object Aliases {
     when(size(valid) > 0, shortest).otherwise(name)
   }
 
+  /** F15 — locationCasing (CorefHelperMethods.scala:363-376), exact
+    * semantics: per space-separated word, a word containing "." is left
+    * untouched (abbreviations like "U.S."), anything else is lowercased
+    * with its first character uppercased. NOT `initcap` — initcap would
+    * rewrite "U.S." to "U.s." and treats more delimiters as word breaks.
+    */
+  def locationCasing(c: Column): Column =
+    array_join(transform(split(c, " "), w =>
+      when(w.contains("."), w)
+        .otherwise(concat(upper(substring(w, 1, 1)),
+          lower(substring(w, 2, Int.MaxValue))))), " ")
+
+  /** A6 — searchCoreferences (CorefHelperMethods.scala:139-164), full
+    * semantics: among the mention's location+organization named entities
+    * (S6 NER sidecar), a candidate qualifies iff some occurrence of it in
+    * the document lies INSIDE a coref chain interval shorter than 50 chars —
+    * expressed without an occurrence scan: an occurrence lies inside
+    * [start, end] iff that interval's substring contains the entity
+    * (case-insensitive), so the check is `exists` over the (tiny) interval
+    * array with one `contains` each. Qualifying candidates get the
+    * reference's `" in " → ", "` rewrite, then must be LONGER than the name
+    * and comma-free (the rewrite's quirk: an " in " candidate gains a comma
+    * and is thereby excluded — preserved); shortest wins, (length, string)
+    * tie-break for determinism where the reference inherits list order.
+    * The caller-side acceptance gate (result must contain the name,
+    * `:235-238`) is folded in; falls back to the name.
+    *
+    * `intervals`: array<struct<start:int, end:int>> (the corefmentions.txt
+    * sidecar, S6); offsets are 0-based inclusive as in the reference.
+    */
+  def searchCoreferences(doc: Column, name: Column, namedEntities: Column,
+                         intervals: Column): Column = {
+    val qualifies = (ne: Column) => exists(intervals, iv => {
+      val s = iv.getField("start")
+      val e = iv.getField("end")
+      (e - s) < 50 &&
+        lower(substring(doc, s + 1, e - s + 1)).contains(lower(ne))
+    })
+    val cands = transform(
+      filter(namedEntities, ne => qualifies(ne)),
+      ne => regexp_replace(ne, " in ", ", "))
+    val eligible = filter(cands, c =>
+      length(c) > length(name) && !c.contains(","))
+    val shortest = array_min(transform(eligible,
+      c => struct(length(c).as("l"), c.as("c")))).getField("c")
+    when(size(eligible) > 0 && lower(shortest).contains(lower(name)), shortest)
+      .otherwise(name)
+  }
+
   /** A5 — min positive distance of a candidate occurrence BEFORE the
     * mention offset (CorefHelperMethods.scala:243-260): the reference scans
     * every occurrence of the candidate in the raw doc and keeps

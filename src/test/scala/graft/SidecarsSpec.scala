@@ -67,6 +67,40 @@ class SidecarsSpec extends SparkSpec {
     assert(got("m3") == "zzz-unknown")
   }
 
+  test("F15 locationCasing: dotted abbreviations untouched, everything else Word-cased") {
+    val got = Seq("new YORK city", "u.s. VIRGIN islands", "TEXAS")
+      .toDF("s").select(Aliases.locationCasing($"s")).as[String].collect().toSeq
+    assert(got == Seq("New York City", "u.s. Virgin Islands", "Texas"))
+  }
+
+  test("A6 searchCoreferences: entity inside a short coref span, longer than name, comma-free, shortest") {
+    val doc = "report from the acme corporation of america yesterday; " +
+      "acme ltd was mentioned too, and the acme corporation responded."
+    def iv(s: Int, e: Int) = (s, e)
+    val rows = Seq(
+      // "acme corporation" occurs inside the [10,60] coref span (size 50? ->
+      // must be < 50: use [12,55]); candidates: shortest qualifying wins
+      ("q1", "acme", doc, Seq("acme corporation of america", "acme corporation", "zzz"),
+        Seq(iv(10, 55))),
+      // span too long (>= 50 chars) disqualifies everything -> name
+      ("q2", "acme", doc, Seq("acme corporation"), Seq(iv(0, 120))),
+      // " in " rewrite gains a comma -> excluded (reference quirk) -> name
+      ("q3", "acme", "the acme in america group said so",
+        Seq("acme in america"), Seq(iv(0, 40))),
+      // candidate must contain the name (caller gate) -> name
+      ("q4", "globex", doc, Seq("acme corporation"), Seq(iv(10, 55))))
+      .toDF("id", "name", "doc", "nes", "ivs")
+      .withColumn("intervals", transform($"ivs",
+        x => struct(x.getField("_1").as("start"), x.getField("_2").as("end"))))
+    val got = rows.select($"id",
+        Aliases.searchCoreferences($"doc", $"name", $"nes", $"intervals").as("r"))
+      .as[(String, String)].collect().toMap
+    assert(got("q1") == "acme corporation")
+    assert(got("q2") == "acme")
+    assert(got("q3") == "acme")
+    assert(got("q4") == "globex")
+  }
+
   test("F12 dormant feature set: every column matches the reference's hand arithmetic") {
     val kbAmb = Seq("E1" -> "acme corp").toDF("kbId", "kbName")
     val cands = Seq(
