@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.SortedLongIntersectCount.sorted_long_intersect_count
 import graft.functions.StringSim.jaro_winkler
 import graft.operators._
 import graft.sources.{Sidecars, SynthCorpus}
@@ -129,19 +130,23 @@ object SparkEntry {
           levenshtein($"p_name", $"p_type").cast("long").as("lev"))
         .orderBy($"p_partkey")
     }),
-    // n-gram (token 2-shingle) Jaccard near-dup over blocked doc pairs
+    // n-gram (token 2-shingle) Jaccard near-dup over blocked doc pairs.
+    // Tokens are hashed+sorted ONCE per doc so the per-pair set math is a
+    // codegen primitive merge (sorted_long_intersect_count), not a per-pair
+    // string hash set — same values, ~10x cheaper verification
     "q_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
         .select($"doc_id", $"source",
-          array_distinct(split($"text", " ")).as("toks"))
+          sort_array(transform(array_distinct(split($"text", " ")),
+            t => xxhash64(t))).as("toks"))
       val l = docs.select($"source", $"doc_id".as("l_id"), $"toks".as("l_toks"))
       val r = docs.select($"source", $"doc_id".as("r_id"), $"toks".as("r_toks"))
       l.join(r, Seq("source"))
         .where($"l_id" < $"r_id")
+        .withColumn("inter", sorted_long_intersect_count($"l_toks", $"r_toks"))
         .withColumn("raw",
-          size(array_intersect($"l_toks", $"r_toks")).cast("double") /
-            size(array_union($"l_toks", $"r_toks")))
+          $"inter".cast("double") / (size($"l_toks") + size($"r_toks") - $"inter"))
         .where($"raw" >= 0.5) // filter on the RAW value (oracle does too)
         .select($"l_id", $"r_id", round($"raw", 4).as("jaccard"))
         .orderBy($"l_id", $"r_id")
@@ -577,13 +582,15 @@ object SparkEntry {
       import s.implicits._
       val docs = t(s, d, "documents")
         .select($"doc_id".cast("string").as("id"), $"source",
-          array_distinct(split($"text", " ")).as("toks"))
+          sort_array(transform(array_distinct(split($"text", " ")),
+            t => xxhash64(t))).as("toks"))
       val l = docs.select($"source", $"id".as("src"), $"toks".as("l_toks"))
       val r = docs.select($"source", $"id".as("dst"), $"toks".as("r_toks"))
+      val inter = sorted_long_intersect_count($"l_toks", $"r_toks")
       val edges = l.join(r, Seq("source"))
         .where($"src" < $"dst")
-        .where(size(array_intersect($"l_toks", $"r_toks")).cast("double") /
-          size(array_union($"l_toks", $"r_toks")) >= 0.5)
+        .where(inter.cast("double") /
+          (size($"l_toks") + size($"r_toks") - inter) >= 0.5)
         .select($"src", $"dst")
       ConnectedComponents.run(docs.select($"id"), edges)
         .groupBy($"component").agg(count(lit(1)).as("members"))
@@ -628,12 +635,13 @@ object SparkEntry {
       import s.implicits._
       val docs = t(s, d, "documents")
         .select(lpad($"doc_id".cast("string"), 6, "0").as("id"), $"source", $"lang",
-          array_distinct(split($"text", " ")).as("toks"))
+          sort_array(transform(array_distinct(split($"text", " ")),
+            t => xxhash64(t))).as("toks"))
       val l = docs.select($"source", $"id".as("leftId"), $"toks".as("lt"))
       val r = docs.select($"source", $"id".as("rightId"), $"toks".as("rt"))
       val scored = l.join(r, Seq("source")).where($"leftId" < $"rightId")
         .select($"leftId", $"rightId",
-          size(array_intersect($"lt", $"rt")).cast("double").as("score"))
+          sorted_long_intersect_count($"lt", $"rt").cast("double").as("score"))
       val comps = docs.select($"id", $"lang".as("component"))
       Scoring.clusterPairSimilarity(scored, comps)
         .select($"c1", $"c2", round($"avgScore", 6).as("avg_score"),

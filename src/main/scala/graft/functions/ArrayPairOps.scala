@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftExpr
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** True iff any cross pair (a ∈ left, b ∈ right) has a.startsWith(b) or
@@ -105,4 +105,50 @@ object ArrayContainsOverlap {
 
   def array_contains_overlap(l: Column, r: Column): Column =
     GraftExpr.column(ArrayContainsOverlap(GraftExpr.expression(l), GraftExpr.expression(r)))
+}
+
+/** |A ∩ B| of two SORTED distinct array<long> via one linear merge — the
+  * Jaccard verification kernel for the dedup joins (J6). `array_intersect`
+  * builds a hash set and allocates the result array per pair; on sorted
+  * long arrays the merge is branch-light primitive compares with NO
+  * allocation, and |A ∪ B| falls out as |A| + |B| − |A ∩ B| — worth ~an
+  * order of magnitude on the pair-verification hot path where millions of
+  * blocked pairs each compare ~100-element shingle sets. Sorting is paid
+  * once per ROW at tokenize time (`sort_array`), not once per PAIR.
+  * Inputs must be sorted ascending and duplicate-free (the operators build
+  * them with `sort_array(array_distinct(...))`).
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_long_intersect_count"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SortedLongIntersectCount.count(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.SortedLongIntersectCount.count($l, $r);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedLongIntersectCount {
+  def count(l: ArrayData, r: ArrayData): Int = {
+    val nl = l.numElements(); val nr = r.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < nl && j < nr) {
+      val a = l.getLong(i); val b = r.getLong(j)
+      if (a == b) { c += 1; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  def sorted_long_intersect_count(l: Column, r: Column): Column =
+    GraftExpr.column(SortedLongIntersectCount(
+      GraftExpr.expression(l), GraftExpr.expression(r)))
 }

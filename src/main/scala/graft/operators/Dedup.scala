@@ -46,11 +46,14 @@ object Dedup {
     // the tokenize→shingle→minhash frame feeds FOUR consumers (block keys,
     // both verification sides, CC nodes) — persist it or the expensive
     // shingling runs once per consumer
+    // shingles sorted ONCE per row so the per-pair verification below is a
+    // linear primitive merge (sorted_long_intersect_count), not a hash-set
+    // array_intersect per pair; minhash_bands is order-insensitive
     val toks = df.select(
       col(idCol).cast("string").as("id"),
       filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0).as("tokens"))
       .withColumn("shingles",
-        array_distinct(Mentions.shingleHashes($"tokens", conf.shingleK)))
+        sort_array(array_distinct(Mentions.shingleHashes($"tokens", conf.shingleK))))
       .withColumn("bands", minhash_bands($"shingles", conf.minHashes, conf.bands, conf.seed))
       .drop("tokens")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -64,9 +67,10 @@ object Dedup {
     val verified = cand
       .join(sides.select($"id".as("leftId"), $"shingles".as("ls")), "leftId")
       .join(sides.select($"id".as("rightId"), $"shingles".as("rs")), "rightId")
+      .withColumn("inter",
+        graft.functions.SortedLongIntersectCount.sorted_long_intersect_count($"ls", $"rs"))
       .withColumn("jaccard",
-        size(array_intersect($"ls", $"rs")).cast("double") /
-          size(array_union($"ls", $"rs")))
+        $"inter".cast("double") / (size($"ls") + size($"rs") - $"inter"))
       .where($"jaccard" >= threshold)
       .select($"leftId".as("src"), $"rightId".as("dst"))
 
@@ -136,7 +140,8 @@ object Dedup {
     val toks = df.select(
       col(idCol).cast("string").as("id"), col(blockCol).as("key"),
       filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0).as("tokens"))
-      .withColumn("grams", array_distinct(Mentions.shingleHashes($"tokens", n)))
+      .withColumn("grams", // sorted once per row -> per-pair merge intersect
+        sort_array(array_distinct(Mentions.shingleHashes($"tokens", n))))
 
     val blocks = toks.select($"key", $"id")
     val sizes = blocks.groupBy($"key").agg(count(lit(1)).as("blockSize"))
@@ -148,9 +153,10 @@ object Dedup {
     val pairs = cand
       .join(sides.select($"id".as("leftId"), $"grams".as("lg")), "leftId")
       .join(sides.select($"id".as("rightId"), $"grams".as("rg")), "rightId")
+      .withColumn("inter",
+        graft.functions.SortedLongIntersectCount.sorted_long_intersect_count($"lg", $"rg"))
       .withColumn("jaccard",
-        size(array_intersect($"lg", $"rg")).cast("double") /
-          size(array_union($"lg", $"rg")))
+        $"inter".cast("double") / (size($"lg") + size($"rg") - $"inter"))
       .where($"jaccard" >= threshold)
       .select($"leftId", $"rightId", $"jaccard")
     PairsResult(pairs, sizes.where($"blockSize" > conf.maxBlockSize))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{JaroWinkler, MinHashBands, SortedVecDot}
+import graft.functions.{JaroWinkler, MinHashBands, SortedLongIntersectCount, SortedVecDot}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
@@ -70,5 +70,16 @@ object FunctionProps extends Properties("graft.functions") {
       val got = SortedVecDot.dot(h1, w1, h2, w2)
       val gotSwap = SortedVecDot.dot(h2, w2, h1, w1)
       math.abs(got - naive) <= 1e-9 * math.max(1.0, math.abs(naive)) && got == gotSwap
+    }
+
+  private val longSet: Gen[Set[Long]] =
+    Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.toSet)
+
+  property("sorted_long_intersect_count equals set intersection, commutes") =
+    forAll(longSet, longSet) { (a, b) =>
+      def arr(s: Set[Long]) = ArrayData.toArrayData(s.toArray.sorted)
+      val got = SortedLongIntersectCount.count(arr(a), arr(b))
+      val gotSwap = SortedLongIntersectCount.count(arr(b), arr(a))
+      got == a.intersect(b).size && got == gotSwap
     }
 }
