@@ -19,9 +19,12 @@ final case class GraftConf(
     levBound: Int = 16, // bounded Levenshtein threshold (north_star)
     contextFilter: Boolean = false, // P4 pair guard (opt-in, as in the reference
     // where only the training-data path applies it — MentionPairTrainingData.scala:41-43)
-    wideContext: Boolean = false // F3 second context window (std + wide sim
+    wideContext: Boolean = false, // F3 second context window (std + wide sim
     // averaged, MentionPairFeatures.scala:115-119); off by default to keep
     // the pinned weights' behavior
+    commonNames: Seq[String] = Nil // F6 common-surnames.txt analogue: name
+    // tokens too common to signal identity (broadcast literal; the block-size
+    // cap stays the data-driven guard at the blocking stage)
 )
 
 /** Stage 1 — mention construction + alias expansion (SURVEY.md §7 M1).

@@ -19,7 +19,9 @@ final case class PairWeights(
     prefix: Double,
     abbrMatch: Double,
     contains: Double = 0.0, // F8 — dormant in the reference's active set too
-    linkSim: Double = 0.0) // F10 — active only when extraction vectors exist
+    linkSim: Double = 0.0, // F10 — active only when extraction vectors exist
+    sameSurname: Double = 0.0) // F6 — trained slot in the reference; 0 keeps
+    // the pinned-weight behavior until a refit includes it
 
 object PairWeights {
   /** Trained with LogisticTrainer on the SynthCorpus labeled pairs (seed 42,
@@ -92,6 +94,20 @@ object Scoring {
         } else std
       })
       .withColumn("namesOverlap", arrays_overlap(col("lNames"), col("rNames")))
+      // F6 sameCommonSurname (MentionPairFeatures.scala:35,67): both sides
+      // carry a too-common name token AND the names overlap — the damping
+      // signal for "Smith"-style spurious matches. The common-name list is
+      // a broadcast literal (conf.commonNames, the reference's
+      // common-surnames.txt); empty list => constant false, codegen either
+      // way (arrays_overlap)
+      .withColumn("sameSurname",
+        if (conf.commonNames.isEmpty) lit(false)
+        else {
+          val common = typedlit(conf.commonNames)
+          arrays_overlap(col("lNames"), common) &&
+            arrays_overlap(col("rNames"), common) &&
+            arrays_overlap(col("lNames"), col("rNames"))
+        })
       // NOT exists(.., exists(..)): higher-order lambdas are CodegenFallback
       // and would break the whole projection out of whole-stage codegen
       .withColumn("prefix",
@@ -118,9 +134,11 @@ object Scoring {
         lit(w.prefix) * col("prefix").cast("double") +
         lit(w.abbrMatch) * col("abbrMatch").cast("double") +
         lit(w.contains) * col("containsF").cast("double") +
-        lit(w.linkSim) * col("linkSim")))
+        lit(w.linkSim) * col("linkSim") +
+        lit(w.sameSurname) * col("sameSurname").cast("double")))
       .select("leftId", "rightId", "blockKey", "jw", "lev", "cosine",
-        "namesOverlap", "prefix", "containsF", "abbrMatch", "linkSim", "score")
+        "namesOverlap", "prefix", "containsF", "abbrMatch", "linkSim",
+        "sameSurname", "score")
   }
 
   /** G5 — cluster-pair similarity (Clusterer.clusterSimilarity,

@@ -177,6 +177,27 @@ class ScoringSpec extends SparkSpec {
     assert(got("c")._5 < 0.93)
   }
 
+  test("F6 sameCommonSurname: fires only when both sides carry a common name AND names overlap") {
+    val m = Seq(
+      ("a", "smith", Seq("smith"), Seq("s"), Seq(1L), Seq(1.0)),
+      ("b", "smith", Seq("smith"), Seq("s"), Seq(1L), Seq(1.0)),
+      ("c", "zhu", Seq("zhu"), Seq("z"), Seq(1L), Seq(1.0)),
+      ("d", "smith jones", Seq("smith", "jones"), Seq("sj"), Seq(1L), Seq(1.0)))
+      .toDF("id", "entityString", "names", "abbrs", "vecH", "vecW")
+    val pairs = Seq(("a", "b", "k"), ("a", "c", "k"), ("a", "d", "k"))
+      .toDF("leftId", "rightId", "blockKey")
+    val conf = GraftConf(commonNames = Seq("smith", "johnson"))
+    val got = Scoring.score(pairs, m, PairWeights.default, conf)
+      .select($"rightId", $"sameSurname").as[(String, Boolean)].collect().toMap
+    assert(got("b"), "smith-smith overlap of a common name must fire")
+    assert(!got("c"), "no overlap, right side not common")
+    assert(got("d"), "overlap via the shared common token fires")
+    // empty list (default conf): constant false
+    val off = Scoring.score(pairs, m, PairWeights.default, GraftConf())
+      .select($"sameSurname").as[Boolean].collect()
+    assert(off.forall(!_))
+  }
+
   test("bestThresholdRefit: per-fold refit is deterministic and tracks the training data (G11 full)") {
     // separable labeled data: label = (f1 > 0.5); two explicit folds
     def labeled(flipFold: Option[Int]): org.apache.spark.sql.DataFrame = {
