@@ -418,8 +418,10 @@ object SparkEntry {
         .as[(String, String)].collect()
       val gaz: Map[String, Seq[String]] =
         gazRows.groupBy(_._1).map { case (c, ms) => c -> ms.map(_._2).toSeq.sorted }
+      // sorted before toMap: on a 3-letter prefix collision last-wins must
+      // be deterministic, not partition-order-dependent
       val abbrs: Map[String, String] = r.select(lower($"r_name")).as[String]
-        .collect().map(full => full.take(3) -> full).toMap
+        .collect().sorted.map(full => full.take(3) -> full).toMap
       val m = n.join(r.as("cr"), $"n_regionkey" === $"cr.r_regionkey")
         .join(r.as("wr"), pmod($"n_regionkey" + 2, lit(5)) === $"wr.r_regionkey")
         .select($"n_nationkey".as("id"), $"n_name".as("name"),

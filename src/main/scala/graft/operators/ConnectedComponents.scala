@@ -77,7 +77,7 @@ object ConnectedComponents {
     * identical on both paths (min-id components; props-tested).
     */
   def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50,
-          driverFinishEdges: Long = 500000L): DataFrame = {
+          driverFinishEdges: Long = 200000L): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
 
@@ -94,11 +94,16 @@ object ConnectedComponents {
     val contracted = cur.count() // already materialized by the eager cut
     val assigned =
       if (contracted <= driverFinishEdges) {
-        // endgame: contracted spanning-forest edges fit on the driver
+        // endgame: contracted spanning-forest edges fit on the driver.
+        // parallelize the result back out instead of a LocalRelation — a
+        // near-threshold result embedded in the nodes-join plan would hold
+        // hundreds of MB in every serialized plan copy
         val uf = new UnionFind
         cur.select($"src", $"dst").as[(String, String)]
           .collect().foreach { case (s, d) => uf.union(s, d) }
-        uf.starEdges.toSeq.toDF("id", "comp")
+        spark.createDataset(spark.sparkContext.parallelize(
+          uf.starEdges.toSeq, spark.sparkContext.defaultParallelism))
+          .toDF("id", "comp")
       } else {
         var converged = false
         var iter = 0

@@ -162,13 +162,17 @@ object Dedup {
     PairsResult(pairs, sizes.where($"blockSize" > conf.maxBlockSize))
   }
 
-  /** Back-compat pair view of `ngramJaccard` (same cap applies — read the
-    * overflow frame via `ngramJaccard` when block sizes are unbounded).
+  /** Pairs-only view of `ngramJaccard` — runs UNCAPPED (block-size cap
+    * lifted, salting still applies): this API has nowhere to surface the
+    * overflow frame, and a silent drop would violate the module's
+    * never-silent rule for callers that previously got every pair. Use
+    * `ngramJaccard` to get the cap + overflow metrics.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 2, threshold: Double = 0.5,
                         conf: GraftConf = GraftConf()): DataFrame =
-    ngramJaccard(df, idCol, textCol, blockCol, n, threshold, conf).pairs
+    ngramJaccard(df, idCol, textCol, blockCol, n, threshold,
+      conf.copy(maxBlockSize = Int.MaxValue)).pairs
 
   /** Embedding-cosine near-dup: random-hyperplane LSH buckets (sign bits of
     * `planes` seeded projections) then verified cosine ≥ threshold within

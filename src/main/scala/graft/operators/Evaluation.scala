@@ -68,6 +68,13 @@ object Evaluation {
     */
   def b3Capped(sys: DataFrame, gold: DataFrame,
                maxClusterSize: Int): (B3Scores, DataFrame) = {
+    // a mention of an over-cap cluster contributes through its SAMPLED
+    // co-members; with an expected sample of ~maxClusterSize members the
+    // probability of an empty sample (mention silently dropped from the
+    // macro-average) is ~e^-maxClusterSize — demand a cap where that is
+    // negligible (e^-16 ≈ 1e-7) rather than bias the average quietly
+    require(maxClusterSize >= 16,
+      s"maxClusterSize must be >= 16 (got $maxClusterSize): smaller caps risk empty co-member samples")
     val spark = sys.sparkSession
     import spark.implicits._
     val m = sys.select($"mentionId".as("id"), $"clusterId")

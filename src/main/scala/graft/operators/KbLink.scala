@@ -297,12 +297,16 @@ object KbLink {
     * candidate string and keep the one whose best KB entity scores highest —
     * the reference's per-candidate `getBestEntity` loop becomes one
     * explode → link() → per-id window, where link()'s existing top-1 over
-    * the exploded frame IS the joint argmax over (candidate, entity).
-    * Falls back to the name when no candidate reaches the KB (the
-    * reference's `bestScore = 0` initial state: any found link outranks the
-    * default). Deterministic where the reference's `toSet.toList` iteration
-    * order is not (documented divergence): ties break on
-    * (exactTitle, z, kbId, entityString).
+    * the exploded frame picks the winner under link()'s OWN ordering
+    * (exactTitle DESC first, then z): a candidate string exactly matching a
+    * KB title beats a higher-z fuzzy candidate — the kbTitleToIdMap-first
+    * acceptance link() inherits everywhere, where the reference's A7 loop
+    * ranks by combinedScore alone (documented divergence, consistent with
+    * this engine's exact-title-first policy). Falls back to the name when
+    * no candidate reaches the KB (the reference's `bestScore = 0` initial
+    * state: any found link outranks the default). Deterministic where the
+    * reference's `toSet.toList` iteration order is not: remaining ties
+    * break on (kbId, entityString).
     *
     * Adds `bestEntityString` to the mention frame.
     */

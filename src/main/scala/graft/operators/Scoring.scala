@@ -96,8 +96,14 @@ object Scoring {
       .withColumn("namesOverlap", arrays_overlap(col("lNames"), col("rNames")))
       // F6 sameCommonSurname (MentionPairFeatures.scala:35,67): both sides
       // carry a too-common name token AND the names overlap — the damping
-      // signal for "Smith"-style spurious matches. The common-name list is
-      // a broadcast literal (conf.commonNames, the reference's
+      // signal for "Smith"-style spurious matches. Reference quirk preserved
+      // deliberately: the three conjuncts are INDEPENDENT (`m1
+      // .isCommonSurname && m2.isCommonSurname && namesOverlap`), so two
+      // mentions overlapping only on a DISCRIMINATING name while each
+      // carrying some unrelated common token still fire — the reference does
+      // not require the shared token itself to be common (that stricter rule
+      // would be array_intersect∩common). The common-name list is a
+      // broadcast literal (conf.commonNames, the reference's
       // common-surnames.txt); empty list => constant false, codegen either
       // way (arrays_overlap)
       .withColumn("sameSurname",

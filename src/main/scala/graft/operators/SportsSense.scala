@@ -78,18 +78,30 @@ object SportsSense {
     * as one aggregation; only the ≤ `sampleCap` LR sample and the word map
     * reach the driver.
     */
-  def train(labeled: DataFrame, sampleCap: Int = 3000): Model = {
+  def train(labeled: DataFrame, sampleCap: Int = 3000,
+            vocabCap: Int = 50000): Model = {
     import labeled.sparkSession.implicits._
-    // per-word per-class counts -> log ratio map (Laplace +1)
+    // per-word per-class counts -> log ratio map (Laplace +1). The word map
+    // is BOUNDED at `vocabCap` (keep the most frequent tokens, deterministic
+    // (count, token) order) — only the capped map reaches the driver and the
+    // broadcast literal, never the raw web-scale vocabulary; class totals
+    // still come from the FULL counts so the kept words' probabilities are
+    // unchanged (standard NB frequency-based feature selection)
     val counts = labeled
       .select($"label", explode($"tokens").as("t"))
       .groupBy(lower($"t").as("t"))
       .agg(sum(when($"label", 1L).otherwise(0L)).as("ct"),
         sum(when(!$"label", 1L).otherwise(0L)).as("cf"))
-    val totals = counts.agg(sum($"ct"), sum($"cf")).head()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.agg(sum($"ct"), sum($"cf"), count(lit(1))).head()
     val (nt, nf) = (totals.getLong(0).toDouble, totals.getLong(1).toDouble)
-    val vocab = counts.count().toDouble
-    val logRatio = counts.collect().map { r =>
+    val vocab = totals.getLong(2).toDouble
+    val kept = counts
+      .orderBy(($"ct" + $"cf").desc, $"t")
+      .limit(vocabCap)
+      .collect()
+    counts.unpersist()
+    val logRatio = kept.map { r =>
       r.getString(0) -> (math.log((r.getLong(1) + 1.0) / (nt + vocab)) -
         math.log((r.getLong(2) + 1.0) / (nf + vocab)))
     }.toMap

@@ -30,8 +30,19 @@ object Lineage {
     *
     * New checkpoint files are discovered by diffing the checkpoint dir before
     * and after the eager cut; `setCheckpointDir` puts each app under its own
-    * UUID subdir, so the listing sees only this application's rounds (assumes
-    * the single-threaded iterate-then-cut usage these algorithms have).
+    * UUID subdir, so the listing sees only this application's rounds.
+    *
+    * Constraints (by design): (1) strictly SINGLE-THREADED iterate-then-cut
+    * usage — two concurrent Rotating instances in one SparkContext would
+    * mis-attribute each other's fresh dirs in the listing diff and delete
+    * live rounds; each iterative algorithm owns one instance for its local
+    * loop. (2) The FINAL round's files are intentionally retained — the
+    * returned frame still reads them; callers that materialize a downstream
+    * copy (e.g. their own Lineage.cut) and outlive many invocations should
+    * enable `spark.cleaner.referenceTracking.cleanCheckpoints` or clean the
+    * checkpoint dir between batches. Rotation bounds growth DURING a run
+    * from one-dir-per-iteration to one; it does not manage cross-run
+    * lifecycle.
     */
   final class Rotating(df0: DataFrame) {
     private val sc = df0.sparkSession.sparkContext

@@ -192,6 +192,17 @@ class ScoringSpec extends SparkSpec {
     assert(got("b"), "smith-smith overlap of a common name must fire")
     assert(!got("c"), "no overlap, right side not common")
     assert(got("d"), "overlap via the shared common token fires")
+    // reference quirk pinned: conjuncts are independent — sides overlapping
+    // only on a DISCRIMINATING name still fire when each carries some
+    // (different) common token (MentionPairFeatures.scala:35,67)
+    val m2 = Seq(
+      ("p", "smith", Seq("smith", "acmecorp"), Seq("s"), Seq(1L), Seq(1.0)),
+      ("q", "johnson", Seq("johnson", "acmecorp"), Seq("j"), Seq(1L), Seq(1.0)))
+      .toDF("id", "entityString", "names", "abbrs", "vecH", "vecW")
+    val quirk = Scoring.score(Seq(("p", "q", "k")).toDF("leftId", "rightId", "blockKey"),
+        m2, PairWeights.default, conf)
+      .select($"sameSurname").as[Boolean].head()
+    assert(quirk, "independent-conjunct reference semantics")
     // empty list (default conf): constant false
     val off = Scoring.score(pairs, m, PairWeights.default, GraftConf())
       .select($"sameSurname").as[Boolean].collect()
