@@ -29,10 +29,12 @@ object Evaluation {
       .select(
         ($"lSys" === $"rSys").as("sysSame"),
         ($"lGold" === $"rGold").as("goldSame"))
+    // coalesce: sum over an EMPTY pair set is NULL, and an empty evaluation
+    // input must yield defined scores, not a driver NPE
     val agg = labeled.agg(
-      sum(when($"sysSame" && $"goldSame", 1L).otherwise(0L)).as("tp"),
-      sum(when($"sysSame" && !$"goldSame", 1L).otherwise(0L)).as("fp"),
-      sum(when(!$"sysSame" && $"goldSame", 1L).otherwise(0L)).as("fn")).head()
+      coalesce(sum(when($"sysSame" && $"goldSame", 1L).otherwise(0L)), lit(0L)).as("tp"),
+      coalesce(sum(when($"sysSame" && !$"goldSame", 1L).otherwise(0L)), lit(0L)).as("fp"),
+      coalesce(sum(when(!$"sysSame" && $"goldSame", 1L).otherwise(0L)), lit(0L)).as("fn")).head()
     val tp = agg.getLong(0).toDouble
     val fp = agg.getLong(1).toDouble
     val fn = agg.getLong(2).toDouble
@@ -105,16 +107,17 @@ object Evaluation {
     val (rSys, overSys) = thin($"rc")
     val (rGold, overGold) = thin($"rg")
 
-    // precision: pairs sharing a system cluster (incl. self-pairs)
+    // precision: pairs sharing a system cluster (incl. self-pairs).
+    // coalesce: avg over an EMPTY mention set is NULL — empty input scores 0
     val prec = l.join(rSys, $"lc" === $"rc")
       .groupBy($"lid")
       .agg(avg(when(($"lg" === $"rg") && linkOk, 1.0).otherwise(0.0)).as("p"))
-      .agg(avg($"p")).head().getDouble(0)
+      .agg(coalesce(avg($"p"), lit(0.0))).head().getDouble(0)
     // recall: pairs sharing a gold cluster
     val rec = l.join(rGold, $"lg" === $"rg")
       .groupBy($"lid")
       .agg(avg(when(($"lc" === $"rc") && linkOk, 1.0).otherwise(0.0)).as("r"))
-      .agg(avg($"r")).head().getDouble(0)
+      .agg(coalesce(avg($"r"), lit(0.0))).head().getDouble(0)
     val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
     val metrics = overSys.withColumn("side", lit("sys"))
       .unionByName(overGold.withColumn("side", lit("gold")))

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators._
+import graft.sources.SynthCorpus
+import org.apache.spark.sql.functions._
+
+/** Degenerate inputs: every operator must return a sane empty/identity
+  * result on empty frames instead of NPE-ing inside a driver-side
+  * `.head().getX` on a null aggregate — the failure mode of a scheduled
+  * production job whose upstream filter matched nothing that day.
+  */
+class DegenerateInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyDocs = Seq.empty[(String, String)].toDF("id", "text")
+
+  test("dedup family on empty input returns empty, not an error") {
+    assert(Dedup.exact(emptyDocs, "id", "text").isEmpty)
+    assert(Dedup.minhashLsh(emptyDocs, "id", "text").isEmpty)
+    assert(Dedup.simhash(emptyDocs, "id", "text").isEmpty)
+    val ng = Dedup.ngramJaccard(
+      Seq.empty[(String, String, String)].toDF("id", "block", "text"),
+      "id", "text", "block")
+    assert(ng.pairs.isEmpty && ng.overflow.isEmpty)
+    assert(Dedup.embeddingCosine(
+      Seq.empty[(String, Seq[Double])].toDF("id", "vec"), "id", "vec").isEmpty)
+  }
+
+  test("connected components on empty graphs") {
+    val noNodes = Seq.empty[String].toDF("id")
+    val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(ConnectedComponents.run(noNodes, noEdges).isEmpty)
+    // nodes without edges: all self-components
+    val got = ConnectedComponents.run(Seq("a", "b").toDF("id"), noEdges)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "b"))
+  }
+
+  test("evaluation on empty frames yields zero scores, not NPE") {
+    val sys = Seq.empty[(String, String)].toDF("mentionId", "clusterId")
+    val gold = Seq.empty[(String, String)].toDF("id", "gold")
+    val b3 = Evaluation.b3(sys, gold)
+    assert(b3.precision == 0.0 && b3.recall == 0.0 && b3.f1 == 0.0)
+    val pw = Evaluation.pairwiseF1(
+      Seq.empty[(String, String)].toDF("leftId", "rightId"), sys, gold)
+    assert(pw.f1 == 0.0 || pw.f1 == 1.0) // vacuous truth either way, no crash
+  }
+
+  test("prCurve and threshold finder on empty scored frames") {
+    val scored = Seq.empty[(String, String, Double, Boolean)]
+      .toDF("leftId", "rightId", "score", "label")
+    assert(Reports.prCurve(scored).isEmpty)
+    val labeled = Seq.empty[(String, Double, Boolean, Int)]
+      .toDF("id", "score", "label", "fold")
+    assert(Reports.bestThreshold(labeled).isEmpty)
+  }
+
+  test("full pipeline on an empty corpus: empty decisions, no crash") {
+    val files = SynthCorpus.corpus(spark, families = 1, variants = 1)
+      .where(lit(false))
+    val r = Pipeline.run(spark, files, SynthCorpus.aliasDict)
+    assert(r.decisions.isEmpty && r.scored.isEmpty && r.components.isEmpty)
+    r.mentions.unpersist(); r.scored.unpersist(); r.components.unpersist()
+  }
+
+  test("KbLink on empty mentions / empty KB") {
+    val kb = Seq(("E1", "x", Seq.empty[String])).toDF("kbId", "kbName", "aliases")
+    val noMentions = Seq.empty[(String, String)].toDF("id", "entityString")
+      .withColumn("names", array().cast("array<string>"))
+      .withColumn("abbrs", array().cast("array<string>"))
+    assert(KbLink.link(noMentions, kb).isEmpty)
+    val mentions = Seq(("m1", "x")).toDF("id", "entityString")
+      .withColumn("names", array($"entityString"))
+      .withColumn("abbrs", array($"entityString"))
+    val noKb = Seq.empty[(String, String, Seq[String])].toDF("kbId", "kbName", "aliases")
+    assert(KbLink.link(mentions, noKb).isEmpty)
+  }
+}
