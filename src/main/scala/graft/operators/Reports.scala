@@ -75,6 +75,9 @@ object Reports {
       val row = (pid, rankOff, tpOff); rankOff += n; tpOff += p; row
     }.toSeq.toDF("pid", "rankOff", "tpOff")
 
+    // persisted: the per-partition window pass feeds BOTH the pid-max
+    // collect and the final output — without the persist it runs twice
+    // (and a third time inside the lineage cut's materialization)
     val local = parts
       .withColumn("rank", count(lit(1)).over(byScore))
       .withColumn("tp", sum(when($"label", 1L).otherwise(0L)).over(byScore))
@@ -84,6 +87,7 @@ object Reports {
       .withColumn("precision", $"tp".cast("double") / $"rank")
       .withColumn("recall", $"tp".cast("double") / lit(math.max(nPos, 1L)))
       .withColumn("pBestLocal", max($"precision").over(suffix))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // suffix-max across partitions: per-pid max precision -> reverse prefix
     // max on the driver -> "best precision in any LATER partition"
@@ -97,7 +101,8 @@ object Reports {
     val out = Lineage.cut(local.join(broadcast(laterMax), "pid")
       .withColumn("precisionAtBest", greatest($"pBestLocal", $"pBestLater"))
       .select($"rank", $"score", $"precision", $"recall", $"precisionAtBest"))
-    parts.unpersist() // materialized by the cut, then release the cached input
+    local.unpersist() // materialized by the cut, then release the cached inputs
+    parts.unpersist()
     out
   }
 
