@@ -1228,6 +1228,15 @@ object SparkEntry {
         |  '/root/repo/src/test/resources/golden/q_minhash_blocks.parquet/*.parquet')""".stripMargin,
     "q_text_analysis" ->
       """SELECT * FROM read_parquet(
-        |  '/root/repo/src/test/resources/golden/q_text_analysis.parquet/*.parquet')""".stripMargin
+        |  '/root/repo/src/test/resources/golden/q_text_analysis.parquet/*.parquet')""".stripMargin,
+    "q_lsh_topk" ->
+      """SELECT * FROM read_parquet(
+        |  '/root/repo/src/test/resources/golden/q_lsh_topk.parquet/*.parquet')""".stripMargin,
+    "q_multimodal_features" ->
+      """SELECT * FROM read_parquet(
+        |  '/root/repo/src/test/resources/golden/q_multimodal_features.parquet/*.parquet')""".stripMargin,
+    "q_pipeline_decisions" ->
+      """SELECT * FROM read_parquet(
+        |  '/root/repo/src/test/resources/golden/q_pipeline_decisions.parquet/*.parquet')""".stripMargin
   )
 }

@@ -15,8 +15,15 @@ import org.apache.spark.sql.SparkSession
   * TESTDATA.md marks the tables read-only/deterministic, seed=42).
   */
 object GoldenGen {
+  /** Queries whose output is a pure function of seeded inputs AND free of
+    * order-dependent float aggregation (max/min/count only — a distributed
+    * avg or sum of doubles drifts in the last ulp with partition merge
+    * order and would make a golden flaky). q_ivf_topk stays rows-only:
+    * Lloyd's centroid sums are merge-order-dependent.
+    */
   val goldenQueries = Seq(
-    "q_minhash_dedup", "q_simhash_dedup", "q_minhash_blocks", "q_text_analysis")
+    "q_minhash_dedup", "q_simhash_dedup", "q_minhash_blocks", "q_text_analysis",
+    "q_lsh_topk", "q_multimodal_features", "q_pipeline_decisions")
   val sfDir = "/root/testdata/sf0.01"
   val outRoot = "/root/repo/src/test/resources/golden"
 
