@@ -26,6 +26,18 @@ class DegenerateInputSpec extends SparkSpec {
       Seq.empty[(String, Seq[Double])].toDF("id", "vec"), "id", "vec").isEmpty)
   }
 
+  test("null text rows: dedup treats them as empty content, never crashes") {
+    val df = Seq(("a", "real content words here"), ("b", null), ("c", null))
+      .toDF("id", "text")
+    val got = Dedup.minhashLsh(df, "id", "text").as[(String, String)].collect().toMap
+    assert(got.keySet == Set("a", "b", "c"), "null-text docs must still be assigned")
+    assert(got("a") == "a")
+    val sh = Dedup.simhash(df, "id", "text").as[(String, String)].collect().toMap
+    assert(sh.keySet == Set("a", "b", "c"))
+    val ta = TextAnalysis.analyze(df, "text")
+    assert(ta.count() == 3)
+  }
+
   test("connected components on empty graphs") {
     val noNodes = Seq.empty[String].toDF("id")
     val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
