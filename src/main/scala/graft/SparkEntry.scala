@@ -1237,6 +1237,9 @@ object SparkEntry {
         |  '/root/repo/src/test/resources/golden/q_multimodal_features.parquet/*.parquet')""".stripMargin,
     "q_pipeline_decisions" ->
       """SELECT * FROM read_parquet(
-        |  '/root/repo/src/test/resources/golden/q_pipeline_decisions.parquet/*.parquet')""".stripMargin
+        |  '/root/repo/src/test/resources/golden/q_pipeline_decisions.parquet/*.parquet')""".stripMargin,
+    "q_ivf_topk" ->
+      """SELECT * FROM read_parquet(
+        |  '/root/repo/src/test/resources/golden/q_ivf_topk.parquet/*.parquet')""".stripMargin
   )
 }

@@ -111,6 +111,7 @@ object SimilaritySearch {
               iters: Int = 3, seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val quantScale = (1L << 24).toDouble
     val c = withNorm(corpus, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -146,17 +147,24 @@ object SimilaritySearch {
       // The cid assignment lives in its OWN projection below the generator:
       // an expensive expression in the same select as posexplode gets
       // re-evaluated once per GENERATED row (dim× per vector — measured
-      // 12-15s vs 0.6s on 2000×64 vectors)
+      // 12-15s vs 0.6s on 2000×64 vectors).
+      // Contributions are quantized to fixed-point longs (2^-24 step,
+      // ~6e-8 relative on unit-scale embeddings) so the distributed sum is
+      // INTEGER-exact: a double sum's last ulp depends on partition merge
+      // order, which would make centroids — and therefore the whole index —
+      // nondeterministic across runs. Headroom: |x| ≤ 512 quantizes below
+      // 2^33, so 2^30 contributions per (cid, dim) stay within a long.
       val sums = c.withColumn("cid", nearestCid(col("v")))
         .select(col("cid"), posexplode(col("v")))
         .groupBy(col("cid"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(round(col("col") * quantScale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val dim = centroids.head.length
       val next = centroids.map(_.clone())
       sums.foreach { r =>
         val cid = r.getInt(0); val pos = r.getInt(1)
-        next(cid)(pos) = r.getDouble(2) / r.getLong(3)
+        next(cid)(pos) = (r.getLong(2).toDouble / quantScale) / r.getLong(3)
       }
       require(next.forall(_.length == dim))
       centroids = next

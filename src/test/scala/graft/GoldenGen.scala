@@ -16,14 +16,15 @@ import org.apache.spark.sql.SparkSession
   */
 object GoldenGen {
   /** Queries whose output is a pure function of seeded inputs AND free of
-    * order-dependent float aggregation (max/min/count only — a distributed
-    * avg or sum of doubles drifts in the last ulp with partition merge
-    * order and would make a golden flaky). q_ivf_topk stays rows-only:
-    * Lloyd's centroid sums are merge-order-dependent.
+    * order-dependent float aggregation (max/min/count and integer-exact
+    * sums only — a distributed avg or sum of doubles drifts in the last ulp
+    * with partition merge order and would make a golden flaky). q_ivf_topk
+    * qualifies since the Lloyd update quantizes contributions to fixed-point
+    * longs (integer-exact sums).
     */
   val goldenQueries = Seq(
     "q_minhash_dedup", "q_simhash_dedup", "q_minhash_blocks", "q_text_analysis",
-    "q_lsh_topk", "q_multimodal_features", "q_pipeline_decisions")
+    "q_lsh_topk", "q_multimodal_features", "q_pipeline_decisions", "q_ivf_topk")
   val sfDir = "/root/testdata/sf0.01"
   val outRoot = "/root/repo/src/test/resources/golden"
 
