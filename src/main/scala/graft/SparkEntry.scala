@@ -1212,11 +1212,15 @@ object SparkEntry {
         |  CAST(CASE WHEN c.c_custkey % 2 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_people
         |FROM customer c ORDER BY c.c_custkey""".stripMargin,
     // Golden-parquet oracles (VERDICT r2 #4): these operators are not
-    // SQL-expressible (minhash permutations / simhash bit math / winnowing),
-    // but their inputs are the driver's SEEDED read-only sf0.01 tables, so
-    // the correct output is a fixed artifact. The goldens are committed
-    // under src/test/resources/golden (regenerate: sbt "Test/runMain
-    // graft.GoldenGen") and compared by DuckDB like any other oracle.
+    // SQL-expressible (minhash permutations / simhash bit math / winnowing /
+    // LSH tables / Lloyd iterations / the full pipeline), but their inputs
+    // are SEEDED (driver's read-only sf0.01 tables or the seeded synthetic
+    // corpus) and every aggregation on the path is order-exact (max / min /
+    // count / integer sums — no double-sum ulp drift), so the correct
+    // output is a fixed artifact, verified bit-identical across local[3]/[8]
+    // before committing. Goldens live under src/test/resources/golden
+    // (regenerate: sbt "Test/runMain graft.GoldenGen") and are compared by
+    // DuckDB like any other oracle.
     "q_minhash_dedup" ->
       """SELECT * FROM read_parquet(
         |  '/root/repo/src/test/resources/golden/q_minhash_dedup.parquet/*.parquet')""".stripMargin,
