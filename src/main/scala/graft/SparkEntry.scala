@@ -1135,8 +1135,10 @@ object SparkEntry {
       """WITH gaz AS (
         |  SELECT lower(r_name) AS container, lower(n_name) AS member
         |  FROM nation JOIN region ON n_regionkey = r_regionkey),
-        |ab AS (SELECT lower(substring(r_name, 1, 3)) AS a,
-        |         lower(r_name) AS fullc FROM region),
+        |ab AS (SELECT a, max(fullc) AS fullc
+        |       FROM (SELECT lower(substring(r_name, 1, 3)) AS a,
+        |               lower(r_name) AS fullc FROM region)
+        |       GROUP BY a),
         |m AS (
         |  SELECT id, name,
         |    CASE WHEN id % 3 = 0 THEN [c3, c1, c4]

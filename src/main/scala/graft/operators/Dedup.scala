@@ -162,17 +162,17 @@ object Dedup {
     PairsResult(pairs, sizes.where($"blockSize" > conf.maxBlockSize))
   }
 
-  /** Pairs-only view of `ngramJaccard` — runs UNCAPPED (block-size cap
-    * lifted, salting still applies): this API has nowhere to surface the
-    * overflow frame, and a silent drop would violate the module's
-    * never-silent rule for callers that previously got every pair. Use
-    * `ngramJaccard` to get the cap + overflow metrics.
+  /** Pairs-only view of `ngramJaccard`. DEFAULTS to uncapped (block-size
+    * cap lifted, salting still applies): this API has nowhere to surface
+    * the overflow frame, and a silent drop would violate the module's
+    * never-silent rule for callers that previously got every pair. A caller
+    * that passes an explicit `conf` keeps ITS cap exactly as given (their
+    * stated intent wins — read the overflow via `ngramJaccard` then).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 2, threshold: Double = 0.5,
-                        conf: GraftConf = GraftConf()): DataFrame =
-    ngramJaccard(df, idCol, textCol, blockCol, n, threshold,
-      conf.copy(maxBlockSize = Int.MaxValue)).pairs
+                        conf: GraftConf = GraftConf(maxBlockSize = Int.MaxValue)): DataFrame =
+    ngramJaccard(df, idCol, textCol, blockCol, n, threshold, conf).pairs
 
   /** Embedding-cosine near-dup: random-hyperplane LSH buckets (sign bits of
     * `planes` seeded projections) then verified cosine ≥ threshold within

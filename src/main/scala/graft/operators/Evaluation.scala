@@ -30,11 +30,17 @@ object Evaluation {
         ($"lSys" === $"rSys").as("sysSame"),
         ($"lGold" === $"rGold").as("goldSame"))
     // coalesce: sum over an EMPTY pair set is NULL, and an empty evaluation
-    // input must yield defined scores, not a driver NPE
+    // input must yield defined scores, not a driver NPE. An EMPTY labeled
+    // pair set scores (0,0,0) — consistent with b3 on empty input (a gate
+    // keyed on F1 must flag an empty day, not report vacuous perfection);
+    // the tp+fp==0 ⇒ p=1 convention applies only to NON-empty pair sets
+    // where no pair was predicted/gold positive
     val agg = labeled.agg(
       coalesce(sum(when($"sysSame" && $"goldSame", 1L).otherwise(0L)), lit(0L)).as("tp"),
       coalesce(sum(when($"sysSame" && !$"goldSame", 1L).otherwise(0L)), lit(0L)).as("fp"),
-      coalesce(sum(when(!$"sysSame" && $"goldSame", 1L).otherwise(0L)), lit(0L)).as("fn")).head()
+      coalesce(sum(when(!$"sysSame" && $"goldSame", 1L).otherwise(0L)), lit(0L)).as("fn"),
+      count(lit(1)).as("n")).head()
+    if (agg.getLong(3) == 0L) return PairwiseScores(0.0, 0.0, 0.0)
     val tp = agg.getLong(0).toDouble
     val fp = agg.getLong(1).toDouble
     val fn = agg.getLong(2).toDouble

@@ -154,12 +154,21 @@ object SimilaritySearch {
       // order, which would make centroids — and therefore the whole index —
       // nondeterministic across runs. Headroom: |x| ≤ 512 quantizes below
       // 2^33, so 2^30 contributions per (cid, dim) stay within a long.
+      // `bad` makes poisoned input VISIBLE: the old double sum propagated a
+      // NaN component into the centroid (obvious breakage); a fixed-point
+      // cast would instead silently map NaN to 0 and saturate beyond the
+      // headroom — count such contributions in the same pass and fail loudly
       val sums = c.withColumn("cid", nearestCid(col("v")))
         .select(col("cid"), posexplode(col("v")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(round(col("col") * quantScale).cast("long")).as("s"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          sum(when(isnan(col("col")) || abs(col("col")) > 512.0, 1L)
+            .otherwise(0L)).as("bad"))
         .collect()
+      val poisoned = sums.map(_.getLong(4)).sum
+      require(poisoned == 0L,
+        s"$poisoned NaN/out-of-range (|x|>512) embedding components reached the IVF centroid update")
       val dim = centroids.head.length
       val next = centroids.map(_.clone())
       sums.foreach { r =>

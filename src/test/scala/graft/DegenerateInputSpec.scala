@@ -55,7 +55,8 @@ class DegenerateInputSpec extends SparkSpec {
     assert(b3.precision == 0.0 && b3.recall == 0.0 && b3.f1 == 0.0)
     val pw = Evaluation.pairwiseF1(
       Seq.empty[(String, String)].toDF("leftId", "rightId"), sys, gold)
-    assert(pw.f1 == 0.0 || pw.f1 == 1.0) // vacuous truth either way, no crash
+    // both metrics agree on empty input: zero, never vacuous perfection
+    assert(pw.precision == 0.0 && pw.recall == 0.0 && pw.f1 == 0.0)
   }
 
   test("prCurve and threshold finder on empty scored frames") {

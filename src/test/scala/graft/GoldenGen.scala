@@ -21,6 +21,13 @@ object GoldenGen {
     * with partition merge order and would make a golden flaky). q_ivf_topk
     * qualifies since the Lloyd update quantizes contributions to fixed-point
     * longs (integer-exact sums).
+    *
+    * A golden pins DRIFT, not present correctness — queries whose semantics
+    * matter beyond determinism have independent gates elsewhere:
+    * q_pipeline_decisions' answers are checked against the synthetic
+    * corpus's GOLD clusters (pairwise-F1 ≥ 0.99 + KB-link ≥ 97% accuracy
+    * gates in PipelineSpec/KbLinkSpec) and the ANN queries emit recall vs
+    * exact brute force inside their own output.
     */
   val goldenQueries = Seq(
     "q_minhash_dedup", "q_simhash_dedup", "q_minhash_blocks", "q_text_analysis",
