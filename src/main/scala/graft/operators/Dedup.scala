@@ -162,17 +162,30 @@ object Dedup {
     PairsResult(pairs, sizes.where($"blockSize" > conf.maxBlockSize))
   }
 
-  /** Pairs-only view of `ngramJaccard`. DEFAULTS to uncapped (block-size
-    * cap lifted, salting still applies): this API has nowhere to surface
-    * the overflow frame, and a silent drop would violate the module's
-    * never-silent rule for callers that previously got every pair. A caller
-    * that passes an explicit `conf` keeps ITS cap exactly as given (their
-    * stated intent wins — read the overflow via `ngramJaccard` then).
+  /** Pairs-only view of `ngramJaccard`. DEFAULTS to capped (VERDICT r3 #1):
+    * the previous uncapped default kept every pair but let one hot block go
+    * O(B²) in pair VOLUME — a scale landmine in the API users reach for
+    * first. This wrapper has nowhere to surface the overflow frame, and a
+    * silent drop would violate the module's never-silent rule — so instead
+    * of dropping, it FAILS LOUDLY when any block exceeds the cap, steering
+    * the caller to either `ngramJaccard(...)` (capped pairs + the overflow
+    * metrics frame) or an explicit larger/`Int.MaxValue` cap (their stated
+    * intent wins; salting still spreads the hot block across shuffle keys).
+    * The overflow probe is one map-side-combinable count aggregation over
+    * (id, block) — negligible next to pair generation.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 2, threshold: Double = 0.5,
-                        conf: GraftConf = GraftConf(maxBlockSize = Int.MaxValue)): DataFrame =
-    ngramJaccard(df, idCol, textCol, blockCol, n, threshold, conf).pairs
+                        conf: GraftConf = GraftConf()): DataFrame = {
+    val r = ngramJaccard(df, idCol, textCol, blockCol, n, threshold, conf)
+    val dropped = r.overflow.limit(5).collect()
+    require(dropped.isEmpty,
+      s"ngramJaccardPairs: block(s) exceed maxBlockSize=${conf.maxBlockSize} " +
+        s"(e.g. ${dropped.map(r0 => s"${r0.get(0)}=${r0.get(1)} rows").mkString(", ")}). " +
+        "Use ngramJaccard(...) to get capped pairs plus the overflow metrics frame, " +
+        "or pass an explicit conf with a larger cap to accept the O(B²) pair volume.")
+    r.pairs
+  }
 
   /** Embedding-cosine near-dup: random-hyperplane LSH buckets (sign bits of
     * `planes` seeded projections) then verified cosine ≥ threshold within

@@ -233,7 +233,7 @@ class OperatorsSpec extends SparkSpec {
     val sys = rows.map(r => (r._1, r._2)).toDF("mentionId", "clusterId")
     val gold = rows.map(r => (r._1, r._3)).toDF("id", "gold")
 
-    val exact = Evaluation.b3(sys, gold)
+    val exact = Evaluation.b3Exact(sys, gold)
     val (capped, metrics) = Evaluation.b3Capped(sys, gold, maxClusterSize = 50)
     // the capped run MUST report what it thinned (never silent); the giant
     // cluster exceeds the cap on the sys side and gold-A on the gold side
@@ -249,6 +249,25 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(uncapped.precision - exact.precision) < 1e-9)
     assert(math.abs(uncapped.recall - exact.recall) < 1e-9)
     assert(noMetrics.isEmpty)
+  }
+
+  test("b3 DEFAULT path is capped-safe (VERDICT r3 #1b): exact under the cap, sampled above it") {
+    // a PURE 120-member cluster: the sampled estimate equals the exact score
+    // (every co-member term is 1), so the capped default path is checkable
+    // to machine precision while still exercising the thinning branch
+    val rows = (0 until 120).map(i => (f"m$i%03d", "NIL:c000", "NIL:g")) ++
+      Seq(("x1", "NIL:x1", "NIL:x"), ("x2", "NIL:x1", "NIL:x"))
+    val sys = rows.map(r => (r._1, r._2)).toDF("mentionId", "clusterId")
+    val gold = rows.map(r => (r._1, r._3)).toDF("id", "gold")
+    val exact = Evaluation.b3Exact(sys, gold)
+    // default cap (100k) not hit -> identical to exact
+    val default = Evaluation.b3(sys, gold)
+    assert(default == exact, s"default b3 $default != exact $exact under the cap")
+    // cap hit (32 < 120) -> thinning branch runs, logs, and on a pure
+    // cluster still reproduces the exact score
+    val capped = Evaluation.b3(sys, gold, maxClusterSize = 32)
+    assert(math.abs(capped.precision - exact.precision) < 1e-9, s"$capped vs $exact")
+    assert(math.abs(capped.recall - exact.recall) < 1e-9)
   }
 
   test("gazetteer-validated location expansion (A3/F14/P7): container membership decides") {
