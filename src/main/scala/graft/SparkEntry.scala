@@ -19,6 +19,15 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Root of the committed golden-parquet oracles, resolved at runtime so a
+    * relocated checkout keeps working (ADVICE r3): system property override
+    * first, else the path relative to the working directory (sbt and the
+    * driver both run from the repo root).
+    */
+  private[graft] lazy val goldenRoot: String =
+    sys.props.getOrElse("graft.golden.root",
+      new java.io.File("src/test/resources/golden").getAbsolutePath)
+
   /** Flagship: full KB-link → blocking → scoring → CC → decisions run on the
     * synthetic repo-file corpus; driver smoke-checks rows > 0. KB-anchored
     * clusters carry real E* ids; the rest get NIL ids.
@@ -1223,29 +1232,16 @@ object SparkEntry {
     // before committing. Goldens live under src/test/resources/golden
     // (regenerate: sbt "Test/runMain graft.GoldenGen") and are compared by
     // DuckDB like any other oracle.
-    "q_minhash_dedup" ->
-      """SELECT * FROM read_parquet(
-        |  '/root/repo/src/test/resources/golden/q_minhash_dedup.parquet/*.parquet')""".stripMargin,
-    "q_simhash_dedup" ->
-      """SELECT * FROM read_parquet(
-        |  '/root/repo/src/test/resources/golden/q_simhash_dedup.parquet/*.parquet')""".stripMargin,
-    "q_minhash_blocks" ->
-      """SELECT * FROM read_parquet(
-        |  '/root/repo/src/test/resources/golden/q_minhash_blocks.parquet/*.parquet')""".stripMargin,
-    "q_text_analysis" ->
-      """SELECT * FROM read_parquet(
-        |  '/root/repo/src/test/resources/golden/q_text_analysis.parquet/*.parquet')""".stripMargin,
-    "q_lsh_topk" ->
-      """SELECT * FROM read_parquet(
-        |  '/root/repo/src/test/resources/golden/q_lsh_topk.parquet/*.parquet')""".stripMargin,
-    "q_multimodal_features" ->
-      """SELECT * FROM read_parquet(
-        |  '/root/repo/src/test/resources/golden/q_multimodal_features.parquet/*.parquet')""".stripMargin,
-    "q_pipeline_decisions" ->
-      """SELECT * FROM read_parquet(
-        |  '/root/repo/src/test/resources/golden/q_pipeline_decisions.parquet/*.parquet')""".stripMargin,
-    "q_ivf_topk" ->
-      """SELECT * FROM read_parquet(
-        |  '/root/repo/src/test/resources/golden/q_ivf_topk.parquet/*.parquet')""".stripMargin
+    "q_minhash_dedup" -> goldenSql("q_minhash_dedup"),
+    "q_simhash_dedup" -> goldenSql("q_simhash_dedup"),
+    "q_minhash_blocks" -> goldenSql("q_minhash_blocks"),
+    "q_text_analysis" -> goldenSql("q_text_analysis"),
+    "q_lsh_topk" -> goldenSql("q_lsh_topk"),
+    "q_multimodal_features" -> goldenSql("q_multimodal_features"),
+    "q_pipeline_decisions" -> goldenSql("q_pipeline_decisions"),
+    "q_ivf_topk" -> goldenSql("q_ivf_topk")
   )
+
+  private def goldenSql(name: String): String =
+    s"SELECT * FROM read_parquet('$goldenRoot/$name.parquet/*.parquet')"
 }

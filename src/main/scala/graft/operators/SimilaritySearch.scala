@@ -169,6 +169,15 @@ object SimilaritySearch {
       val poisoned = sums.map(_.getLong(4)).sum
       require(poisoned == 0L,
         s"$poisoned NaN/out-of-range (|x|>512) embedding components reached the IVF centroid update")
+      // enforce (not just assert in a comment) the fixed-point headroom: |x|
+      // ≤ 512 quantizes below 2^33, so up to 2^30 contributions per (cid,
+      // dim) fit a long — beyond that the non-ANSI sum would WRAP silently
+      // and produce wrong centroids (ADVICE r3). Same fail-loudly contract
+      // as the poisoning check; n is already in this pass
+      val maxN = if (sums.isEmpty) 0L else sums.map(_.getLong(3)).max
+      require(maxN <= (1L << 30),
+        s"IVF centroid update overflow risk: $maxN contributions on one (cid, dim) " +
+          "exceed the 2^30 fixed-point headroom — raise nlist or shard the corpus")
       val dim = centroids.head.length
       val next = centroids.map(_.clone())
       sums.foreach { r =>

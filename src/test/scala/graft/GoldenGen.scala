@@ -32,8 +32,11 @@ object GoldenGen {
   val goldenQueries = Seq(
     "q_minhash_dedup", "q_simhash_dedup", "q_minhash_blocks", "q_text_analysis",
     "q_lsh_topk", "q_multimodal_features", "q_pipeline_decisions", "q_ivf_topk")
-  val sfDir = "/root/testdata/sf0.01"
-  val outRoot = "/root/repo/src/test/resources/golden"
+  // resolved from the working dir / env so a relocated checkout regenerates
+  // in place (ADVICE r3); defaults match the driver sandbox
+  val sfDir: String = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.01")
+  val outRoot: String =
+    new java.io.File("src/test/resources/golden").getAbsolutePath
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
