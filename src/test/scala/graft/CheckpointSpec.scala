@@ -138,14 +138,50 @@ class CheckpointSpec extends SparkSpec {
       val rot = new Lineage.Rotating(Seq(1).toDF("v"))
       val r1 = rot.cut(Seq(10, 20).toDF("v"))
       val afterR1 = rounds()
-      assert((afterR1 -- before).size == 1, "first rotating cut adds one round")
+      val instDirs = (afterR1 -- before).filter(_.startsWith("graft-rotating-"))
+      assert(instDirs.size == 1, s"first rotating cut creates ONE instance dir: $afterR1")
+      val inst = new HPath(appDir, instDirs.head)
+      def instRounds(): Set[String] =
+        fs.listStatus(inst).map(_.getPath.getName).toSet
+      assert(instRounds() == Set("round-0"))
       val r2 = rot.cut(r1.withColumn("v", $"v" + 1))
-      val afterR2 = rounds()
-      // round 1's files are deleted once round 2 materializes; net count flat
-      assert(afterR2.size == afterR1.size, s"stale round not deleted: $afterR2 vs $afterR1")
-      val round1 = afterR1 -- before
-      assert(round1.forall(d => !afterR2.contains(d)), "round-1 dir should be gone")
+      // round 0's files are deleted once round 1 materializes
+      assert(instRounds() == Set("round-1"), s"stale round not deleted: ${instRounds()}")
       assert(r2.collect().map(_.getInt(0)).toSet == Set(11, 21), "final round stays readable")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
+  test("Rotating instances are isolated: concurrent loops + a plain cut never cross-delete (ADVICE r3)") {
+    import graft.plans.Lineage
+    val root = tmpDir()
+    spark.sparkContext.setCheckpointDir(root)
+    try {
+      import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+      val pool = Executors.newFixedThreadPool(3)
+      val latch = new CountDownLatch(1)
+      def loop(base: Int): java.util.concurrent.Future[Set[Int]] =
+        pool.submit { () =>
+          latch.await(10, TimeUnit.SECONDS)
+          val rot = new Lineage.Rotating(Seq(base).toDF("v"))
+          var cur = rot.cut(Seq(base, base + 1).toDF("v"))
+          (0 until 4).foreach { _ => cur = rot.cut(cur.withColumn("v", $"v" + 1)) }
+          cur.collect().map(_.getInt(0)).toSet
+        }
+      val plain = pool.submit { () =>
+        latch.await(10, TimeUnit.SECONDS)
+        // a concurrent RELIABLE plain cut — the old listing-diff design
+        // could mis-attribute its files as a Rotating round and delete them
+        Lineage.cut(Seq(1000, 2000).toDF("v"))
+      }
+      val (fa, fb) = (loop(100), loop(500))
+      latch.countDown()
+      assert(fa.get(120, TimeUnit.SECONDS) == Set(104, 105), "loop A result intact")
+      assert(fb.get(120, TimeUnit.SECONDS) == Set(504, 505), "loop B result intact")
+      val plainCut = plain.get(120, TimeUnit.SECONDS)
+      // read the plain checkpoint AFTER both rotating loops rotated+deleted
+      assert(plainCut.collect().map(_.getInt(0)).toSet == Set(1000, 2000),
+        "plain reliable checkpoint must survive concurrent rotations")
+      pool.shutdown()
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 }
