@@ -506,6 +506,35 @@ object SparkEntry {
           size($"ner.people").cast("long").as("n_people"))
         .orderBy($"id")
     }),
+    // S5 KB-dump scrape ETL (WikiMappingHelper regex jobs + first-paragraph
+    // accumulation): a deterministic synthetic XML dump is built from `part`
+    // (25 entities per "file" row), scraped with KbEtl.fromDump, and the
+    // oracle reconstructs the expected table in closed form — the regex
+    // extraction and paragraph selection must round-trip exactly. Dump
+    // paragraphs per entity: title line (dropped by tail), a 3-word
+    // paragraph (skipped: ≤7 words), a 15-word paragraph (taken), a 1-word
+    // tail (skipped); the ≥1500-word stop is spec-covered (KbEtlSpec).
+    "q_kb_etl" -> ((s, d) => {
+      import s.implicits._
+      val ent = t(s, d, "part").select($"p_partkey",
+        concat(
+          lit("<entity wiki_title=\""), regexp_replace($"p_name", " ", "_"),
+          lit("\" type=\""), $"p_type",
+          lit("\" id=\"E"), lpad($"p_partkey".cast("string"), 6, "0"),
+          lit("\" name=\""), $"p_name", lit("\">\n"),
+          lit("<facts class=\""), $"p_brand", lit("\">\n"),
+          lit("<wiki_text><![CDATA[title "), $"p_name",
+          lit("\n\nshort para here\n\n"),
+          $"p_name", lit(" is a "), $"p_type", lit(" product of brand "),
+          $"p_brand", lit(" entry\n\ntail]]></wiki_text>\n</entity>")).as("xml"))
+      val files = ent
+        .groupBy(($"p_partkey" / 25).cast("long").as("fk"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct($"p_partkey".as("k"), $"xml".as("x")))),
+          e => e("x")), "\n").as("xml"))
+      graft.sources.KbEtl.fromDump(files.select($"xml"))
+        .orderBy($"kbId")
+    }),
     // J7 anti-join (reference gold-minus-system set difference)
     "q_anti_join" -> ((s, d) => {
       import s.implicits._
@@ -984,6 +1013,18 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    // closed-form reconstruction of the synthetic dump's expected scrape:
+    // the engine must recover exactly what the query embedded (the taken
+    // paragraph keeps the reference's trailing-space normalization quirk)
+    "q_kb_etl" ->
+      """SELECT 'E' || lpad(CAST(p_partkey AS VARCHAR), 6, '0') AS kbId,
+        |  p_name AS kbName,
+        |  replace(p_name, ' ', '_') AS kbTitle,
+        |  p_type AS kbType,
+        |  p_brand AS factsClass,
+        |  p_name || ' is a ' || p_type || ' product of brand ' || p_brand
+        |    || ' entry ' AS intro
+        |FROM part ORDER BY kbId""".stripMargin,
     "q_pair_filter" ->
       """WITH m AS (
         |  SELECT doc_id, source, lower(string_split(text, ' ')[1]) AS name,

@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** S5 — offline KB-dump scrape ETL (reference WikiMappingHelper.scala:
+  * 20-28 regexes, 34-99 per-file jobs, 207-239 intro accumulation): the
+  * reference's one-time batch job that turns raw KB XML dump files into the
+  * structured (id, title, type, name, intro) table the linker consumes
+  * (`KbLink.introVectors` / `Pipeline.run(kb = ...)`).
+  *
+  * Spark-first reframing: the driver-side per-file regex loops become ONE
+  * scan over a DataFrame of raw dump-file contents — `regexp_extract_all`
+  * per row, explode, field extraction, and the sequential first-paragraph
+  * accumulation as a higher-order `aggregate` over the paragraph array.
+  * Embarrassingly parallel: no shuffle anywhere except the final narrow
+  * id joins (and those co-partition on kbId).
+  *
+  * At 100 TB: each dump file is independent, so the job scales with input
+  * splits; the only driver state is the plan. Entities missing a
+  * wiki_text / facts block keep empty intro / null factsClass, mirroring
+  * the reference emitting nothing from the corresponding regex job.
+  */
+object KbEtl {
+
+  // WikiMappingHelper.scala:20 — entity header attributes, fixed order
+  private val headerRe =
+    """<entity wiki_title="([^"]+)" type="([^"]+)" id="([^"]+)" name="([^"]+)">"""
+  // WikiMappingHelper.scala:22 — id paired with its CDATA wiki_text
+  private val textRe =
+    """id="([^"]+)"[\w\W]+?<wiki_text><!\[CDATA\[([\w\W]+?)\]\]></wiki_text>"""
+  // WikiMappingHelper.scala:26 — facts class on the line after the header
+  private val typeRe =
+    """id="([^"]+)" name=[^>]+>\n<facts class="([^>]+?)">"""
+
+  /** getKBFirstParagraph (WikiMappingHelper.scala:218-239), as a column:
+    * drop the first paragraph (`split("\n\n").tail`), then accumulate
+    * paragraphs of MORE than 7 words while the accumulated context is under
+    * 1500 words (checked BEFORE each paragraph, so the crossing paragraph
+    * is still appended), each with a trailing newline; finally collapse all
+    * whitespace to single spaces — which leaves the reference's trailing
+    * space when anything was accumulated (quirk preserved).
+    */
+  def firstParagraph(text: Column): Column = {
+    val all = split(coalesce(text, lit("")), "\n\n")
+    val paras = slice(all, lit(2), greatest(size(all) - 1, lit(0)))
+    aggregate(
+      paras,
+      lit(""),
+      (ctx, p) => when(
+        size(split(ctx, " ")) < 1500 && size(split(p, " ")) > 7,
+        concat(ctx, p, lit("\n"))).otherwise(ctx),
+      ctx => regexp_replace(ctx, "\\s+", " "))
+  }
+
+  /** The dump-scrape job: `raw` carries one row per dump file (or any chunk
+    * containing whole `<entity>` blocks) in `xmlCol`. Returns one row per
+    * entity header: (kbId, kbName, kbTitle, kbType, factsClass, intro).
+    * kbType is the header `type=` attribute; factsClass the reference's
+    * separate `getTypes` wikiType sweep (null when absent); intro the
+    * accumulated first paragraphs ("" when the entity has no wiki_text).
+    */
+  def fromDump(raw: DataFrame, xmlCol: String = "xml"): DataFrame = {
+    val headers = raw
+      .select(explode(regexp_extract_all(col(xmlCol), lit(headerRe), lit(0))).as("h"))
+      .select(
+        regexp_extract(col("h"), headerRe, 3).as("kbId"),
+        regexp_extract(col("h"), headerRe, 4).as("kbName"),
+        regexp_extract(col("h"), headerRe, 1).as("kbTitle"),
+        regexp_extract(col("h"), headerRe, 2).as("kbType"))
+    val texts = raw
+      .select(explode(regexp_extract_all(col(xmlCol), lit(textRe), lit(0))).as("t"))
+      .select(
+        regexp_extract(col("t"), textRe, 1).as("kbId"),
+        firstParagraph(regexp_extract(col("t"), textRe, 2)).as("intro"))
+    val facts = raw
+      .select(explode(regexp_extract_all(col(xmlCol), lit(typeRe), lit(0))).as("f"))
+      .select(
+        regexp_extract(col("f"), typeRe, 1).as("kbId"),
+        regexp_extract(col("f"), typeRe, 2).as("factsClass"))
+    headers
+      .join(texts, Seq("kbId"), "left")
+      .join(facts, Seq("kbId"), "left")
+      .select(col("kbId"), col("kbName"), col("kbTitle"), col("kbType"),
+        col("factsClass"), coalesce(col("intro"), lit("")).as("intro"))
+  }
+}

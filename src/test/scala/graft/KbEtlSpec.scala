@@ -1,0 +1,78 @@
+package graft
+
+import graft.sources.KbEtl
+import org.apache.spark.sql.functions._
+
+/** S5 dump-scrape ETL — regex extraction pairing and the reference's
+  * getKBFirstParagraph boundary semantics (WikiMappingHelper.scala:207-239).
+  */
+class KbEtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def intro(text: String): String =
+    Seq(text).toDF("t").select(KbEtl.firstParagraph($"t")).as[String].head()
+
+  test("firstParagraph: drops the first paragraph (split.tail)") {
+    val got = intro("this title paragraph has plenty of words in it\n\n" +
+      "second paragraph carries more than seven words total here")
+    assert(got == "second paragraph carries more than seven words total here ")
+    assert(!got.contains("title"))
+  }
+
+  test("firstParagraph: 7-word paragraphs are skipped, 8-word paragraphs taken") {
+    val seven = "one two three four five six seven"
+    val eight = "one two three four five six seven eight"
+    assert(intro(s"head\n\n$seven") == "")
+    assert(intro(s"head\n\n$eight") == eight + " ")
+    // a skipped short paragraph still advances to later qualifying ones
+    assert(intro(s"head\n\n$seven\n\n$eight") == eight + " ")
+  }
+
+  test("firstParagraph: accumulation stops once the context reaches 1500 words") {
+    // 250 paragraphs of 10 words each; the reference's word count joins
+    // paragraphs with "\n" (no space), so after n paragraphs the count is
+    // 9n+1 — the first n with 9n+1 >= 1500 is 167, and the loop checks
+    // BEFORE adding, so exactly paragraphs 0..166 are taken
+    val paras = (0 until 250).map(i => s"p$i w1 w2 w3 w4 w5 w6 w7 w8 w9")
+    val got = intro("head\n\n" + paras.mkString("\n\n"))
+    assert(got.contains("p166 "), "paragraph 166 must still be accumulated")
+    assert(!got.contains("p167 "), "paragraph 167 must be past the 1500-word stop")
+  }
+
+  test("firstParagraph: single-paragraph text yields empty intro; whitespace collapses") {
+    assert(intro("only one paragraph here with many words inside it") == "")
+    val messy = "head\n\nwords  spread\tacross   whitespace runs in this long paragraph"
+    assert(intro(messy) == "words spread across whitespace runs in this long paragraph ")
+  }
+
+  test("fromDump: header/text/facts regexes pair per entity across a multi-entity file") {
+    val xml =
+      """<entity wiki_title="Alpha_Beta" type="ORG" id="E000001" name="Alpha Beta">
+        |<facts class="company">
+        |<wiki_text><![CDATA[Alpha Beta title line
+        |
+        |tiny one
+        |
+        |Alpha Beta is an organization with more than seven words here]]></wiki_text>
+        |</entity>
+        |<entity wiki_title="Gamma" type="PER" id="E000002" name="Gamma Person">
+        |<wiki_text><![CDATA[Gamma title
+        |
+        |Gamma Person appears with well over seven words in this paragraph]]></wiki_text>
+        |</entity>
+        |<entity wiki_title="NoText" type="GPE" id="E000003" name="No Text">
+        |</entity>""".stripMargin
+    val got = KbEtl.fromDump(Seq(xml).toDF("xml"))
+      .orderBy($"kbId")
+      .as[(String, String, String, String, String, String)]
+      .collect()
+    assert(got.length == 3)
+    assert(got(0) == (("E000001", "Alpha Beta", "Alpha_Beta", "ORG", "company",
+      "Alpha Beta is an organization with more than seven words here ")))
+    // entity 2 has no facts block -> null factsClass; text still pairs to ITS id
+    assert(got(1)._1 == "E000002" && got(1)._4 == "PER" && got(1)._5 == null)
+    assert(got(1)._6 == "Gamma Person appears with well over seven words in this paragraph ")
+    // entity 3 has no wiki_text -> empty intro, never a dropped row
+    assert(got(2) == (("E000003", "No Text", "NoText", "GPE", null, "")))
+  }
+}
