@@ -33,7 +33,8 @@ object Pipeline {
           kbAnchors: Option[DataFrame] = None,
           kb: Option[DataFrame] = None,
           kbWeights: KbWeights = KbWeights.default,
-          extractions: Option[DataFrame] = None): Result = {
+          extractions: Option[DataFrame] = None,
+          argExtractions: Option[DataFrame] = None): Result = {
     import spark.implicits._
 
     // mentions feed four consumers (blocking, both scoring joins, CC nodes)
@@ -41,9 +42,12 @@ object Pipeline {
     // expensive TF-IDF/scoring subplans run once per action set, mirroring
     // what runCheckpointed gets from its stage tables
     val prepared = Mentions.prepare(spark, files, aliasDict, conf)
-    // F10: extraction side table (id, fbid) → link vectors onto mentions
-    val mentions = extractions.fold(prepared)(e =>
+    // F10: extraction side tables — (id, fbid) → link vectors, and
+    // (id, argText) → arg-text term vectors — onto mentions
+    val withExt = extractions.fold(prepared)(e =>
       Extractions.withLinkVectors(prepared, e))
+    val mentions = argExtractions.fold(withExt)(a =>
+      Extractions.withArgVectors(withExt, a))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // mention→KB candidate linking (the reference's flagship op): anchors
@@ -90,7 +94,8 @@ object Pipeline {
                       kbAnchors: Option[DataFrame] = None,
                       kb: Option[DataFrame] = None,
                       kbWeights: KbWeights = KbWeights.default,
-                      extractions: Option[DataFrame] = None): Result = {
+                      extractions: Option[DataFrame] = None,
+                      argExtractions: Option[DataFrame] = None): Result = {
     import spark.implicits._
     val cp = new Checkpoint(spark, checkpointRoot)
     // hash covers EVERYTHING that changes stage outputs: conf, weights, the
@@ -104,11 +109,14 @@ object Pipeline {
       Checkpoint.inputFingerprint(files),
       kb.map(Checkpoint.fingerprint).getOrElse("nokb"),
       kbAnchors.map(Checkpoint.fingerprint).getOrElse("noanchors"),
-      extractions.map(Checkpoint.fingerprint).getOrElse("noext"))
+      extractions.map(Checkpoint.fingerprint).getOrElse("noext"),
+      argExtractions.map(Checkpoint.fingerprint).getOrElse("noarg"))
 
     val mentions = cp.getOrCompute("mentions", h, Seq("files")) {
       val prepared = Mentions.prepare(spark, files, aliasDict, conf)
-      extractions.fold(prepared)(e => Extractions.withLinkVectors(prepared, e))
+      val withExt = extractions.fold(prepared)(e =>
+        Extractions.withLinkVectors(prepared, e))
+      argExtractions.fold(withExt)(a => Extractions.withArgVectors(withExt, a))
     }
     val anchors = kbAnchors.orElse(kb.map { k =>
       cp.getOrCompute("kb_anchors", h, Seq("mentions")) {

@@ -36,7 +36,8 @@ object SparkEntry {
     val files = SynthCorpus.corpus(spark)
     Pipeline.run(spark, files, SynthCorpus.aliasDict,
       kb = Some(SynthCorpus.kb(spark)),
-      extractions = Some(SynthCorpus.extractions(spark))).decisions
+      extractions = Some(SynthCorpus.extractions(spark)),
+      argExtractions = Some(SynthCorpus.argExtractions(spark))).decisions
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -702,12 +703,14 @@ object SparkEntry {
         .orderBy($"fold")
     }),
     // full pipeline on the synthetic corpus (smoke within queries), with the
-    // KB stage AND the F10 extraction side table on: decisions carry real E*
-    // ids for anchored families, and scored pairs carry linkSim end-to-end
+    // KB stage AND both F10 extraction side tables on: decisions carry real
+    // E* ids for anchored families, and scored pairs carry linkSim + argSim
+    // end-to-end
     "q_pipeline_decisions" -> ((s, _) => {
       Pipeline.run(s, SynthCorpus.corpus(s), SynthCorpus.aliasDict,
         kb = Some(SynthCorpus.kb(s)),
-        extractions = Some(SynthCorpus.extractions(s))).decisions
+        extractions = Some(SynthCorpus.extractions(s)),
+        argExtractions = Some(SynthCorpus.argExtractions(s))).decisions
     }),
     // B1 KB half — mention→KB candidate linking (the reference flagship,
     // RunKBPEntityLinkerSystem.scala:56-128): mentions from part names, KB =

@@ -49,6 +49,8 @@ final case class ScoredPair(
     containsF: Boolean, // F8 (containment excluding exact overlap)
     abbrMatch: Boolean, // F9
     linkSim: Double, // F10 (extraction link-id cosine; 0 without extractions)
+    argSim: Double, // F10 second half (extraction arg-text cosine)
+    sameSurname: Boolean, // F6 (common-surname damping signal)
     score: Double // logistic score (G1)
 )
 

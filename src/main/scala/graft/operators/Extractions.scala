@@ -52,4 +52,14 @@ object Extractions {
   def withLinkVectors(mentions: DataFrame, extractions: DataFrame): DataFrame =
     mentions.join(linkVectors(extractions),
       mentions("id") === col("extId"), "left").drop("extId")
+
+  /** Join extraction ARG-TEXT term vectors onto a mention frame as
+    * (argH, argW) — the argSim side of F10, same left-join empty default.
+    */
+  def withArgVectors(mentions: DataFrame, argExtractions: DataFrame,
+                     argCol: String = "argText"): DataFrame =
+    mentions.join(
+      argVectors(argExtractions, argCol)
+        .select(col("extId"), col("extH").as("argH"), col("extW").as("argW")),
+      mentions("id") === col("extId"), "left").drop("extId")
 }

@@ -20,8 +20,11 @@ final case class PairWeights(
     abbrMatch: Double,
     contains: Double = 0.0, // F8 — dormant in the reference's active set too
     linkSim: Double = 0.0, // F10 — active only when extraction vectors exist
-    sameSurname: Double = 0.0) // F6 — trained slot in the reference; 0 keeps
+    sameSurname: Double = 0.0, // F6 — trained slot in the reference; 0 keeps
     // the pinned-weight behavior until a refit includes it
+    argSim: Double = 0.0) // F10 second half (MentionPairFeatures.scala:72) —
+    // cosine over extraction ARG-TEXT term vectors; active when arg
+    // extractions are wired (Pipeline argExtractions)
 
 object PairWeights {
   /** Trained with LogisticTrainer on the SynthCorpus labeled pairs (seed 42,
@@ -50,9 +53,12 @@ object Scoring {
     */
   private def side(mentions: DataFrame, idCol: String, p: String): DataFrame = {
     val ext =
-      if (mentions.columns.contains("extH"))
+      (if (mentions.columns.contains("extH"))
         Seq(col("extH").as(s"${p}ExtH"), col("extW").as(s"${p}ExtW"))
-      else Nil
+      else Nil) ++
+      (if (mentions.columns.contains("argH"))
+        Seq(col("argH").as(s"${p}ArgH"), col("argW").as(s"${p}ArgW"))
+      else Nil)
     val wide =
       if (mentions.columns.contains("wideVecH"))
         Seq(col("wideVecH").as(s"${p}WideH"), col("wideVecW").as(s"${p}WideW"))
@@ -67,6 +73,7 @@ object Scoring {
             w: PairWeights = PairWeights.default,
             conf: GraftConf = GraftConf()): DataFrame = {
     val hasExt = mentions.columns.contains("extH")
+    val hasArg = mentions.columns.contains("argH")
     val hasWide = mentions.columns.contains("wideVecH")
     val joined = pairs
       .join(side(mentions, "leftId", "l"), "leftId")
@@ -130,6 +137,14 @@ object Scoring {
           coalesce(sorted_vec_dot(col("lExtH"), col("lExtW"),
             col("rExtH"), col("rExtW")), lit(0.0))
         else lit(0.0))
+      // F10 argSim: cosine over extraction ARG-TEXT term vectors
+      // (MentionPairFeatures.scala:72 `argVec` pair), same kernel, 0 when
+      // either side lacks arg extractions
+      .withColumn("argSim",
+        if (hasArg)
+          coalesce(sorted_vec_dot(col("lArgH"), col("lArgW"),
+            col("rArgH"), col("rArgW")), lit(0.0))
+        else lit(0.0))
 
     feats.withColumn("score", sigmoid(
       lit(w.bias) +
@@ -141,10 +156,11 @@ object Scoring {
         lit(w.abbrMatch) * col("abbrMatch").cast("double") +
         lit(w.contains) * col("containsF").cast("double") +
         lit(w.linkSim) * col("linkSim") +
-        lit(w.sameSurname) * col("sameSurname").cast("double")))
+        lit(w.sameSurname) * col("sameSurname").cast("double") +
+        lit(w.argSim) * col("argSim")))
       .select("leftId", "rightId", "blockKey", "jw", "lev", "cosine",
         "namesOverlap", "prefix", "containsF", "abbrMatch", "linkSim",
-        "sameSurname", "score")
+        "argSim", "sameSurname", "score")
   }
 
   /** G5 — cluster-pair similarity (Clusterer.clusterSimilarity,

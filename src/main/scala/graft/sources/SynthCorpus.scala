@@ -177,6 +177,22 @@ object SynthCorpus {
     }.toDF("id", "fbid")
   }
 
+  /** Arg-text extraction side table (reference F10 `argVec`,
+    * MentionPairFeatures.scala:36,72: term vectors over OpenIE extraction
+    * argument texts): one row per (file id, argText). Arg texts share the
+    * family canonical name + two family terms, plus one common token — so
+    * argSim is high within a family and small-but-nonzero across.
+    */
+  def argExtractions(spark: SparkSession, families: Int = 20, variants: Int = 8,
+                     seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    rows(families, variants, seed).map { case (file, g) =>
+      val f = g.stripPrefix("FAM").toInt
+      val id = s"${file.repo}/${file.path}@${file.commit}"
+      (id, s"${canonicalOf(f)} fam${f}term0 fam${f}term1 common0")
+    }.toDF("id", "argText")
+  }
+
   /** Gold mention→KB link: every member of family f belongs to entity
     * E%06d (for the KB-linking F1 gate and the B³ b3Correct clause).
     */

@@ -103,4 +103,36 @@ class PipelineSpec extends SparkSpec {
     }
     r.mentions.unpersist(); r.scored.unpersist(); r.components.unpersist()
   }
+
+  test("arg-text side table feeds argSim end-to-end (F10 second half)") {
+    val r = Pipeline.run(spark, files, SynthCorpus.aliasDict,
+      extractions = Some(SynthCorpus.extractions(spark)),
+      argExtractions = Some(SynthCorpus.argExtractions(spark)))
+    assert(r.scored.columns.contains("argSim"))
+    val withGold = r.scored
+      .join(gold.select($"id".as("leftId"), $"gold".as("lg")), "leftId")
+      .join(gold.select($"id".as("rightId"), $"gold".as("rg")), "rightId")
+    val fam = withGold.where($"lg" === $"rg")
+    assert(fam.count() > 0)
+    // within a family, arg texts share canonical + family terms -> high
+    val minFam = fam.agg(min($"argSim")).head().getDouble(0)
+    assert(minFam > 0.5, s"within-family argSim should be high, min=$minFam")
+    // across families only the common0 token overlaps -> small but nonzero
+    val cross = withGold.where($"lg" =!= $"rg")
+    if (cross.count() > 0) {
+      val maxCross = cross.agg(max($"argSim")).head().getDouble(0)
+      assert(maxCross < 0.5, s"cross-family argSim should be small, max=$maxCross")
+      assert(maxCross > 0.0, "shared common token keeps cross-family argSim nonzero")
+    }
+    // decisions are unchanged while the argSim weight defaults to 0 — the
+    // feature is parity surface until a refit assigns it weight
+    val base = Pipeline.run(spark, files, SynthCorpus.aliasDict,
+      extractions = Some(SynthCorpus.extractions(spark)))
+    val a = r.decisions.orderBy($"mentionId").collect().toSeq
+    val b = base.decisions.orderBy($"mentionId").collect().toSeq
+    assert(a == b)
+    Seq(r, base).foreach { x =>
+      x.mentions.unpersist(); x.scored.unpersist(); x.components.unpersist()
+    }
+  }
 }
