@@ -79,4 +79,39 @@ object Sidecars {
       def rest(l: String) = l.split("\t").drop(2).toSeq
       (qId, qType, matching, rest(g(1)), rest(g(2)), rest(g(3)))
     }.toSeq
+
+  /** Parsed rows plus the count of malformed lines SKIPPED (never silent:
+    * the reference either throws mid-load or System.err-prints per line;
+    * here the caller gets the tally to surface or gate on).
+    */
+  final case class Parsed[T](rows: Seq[T], malformed: Int)
+
+  /** Parse the reference's gold/system submission `.tab` format
+    * (FormattedOutput.readFormattedOutput, FormattedOutput.scala:13-19):
+    * `queryId \t kbLink [\t ...]` — only the first two columns are read and
+    * the confidence is FORCED to 0.0 (reference quirk: the `confidence`
+    * var is never assigned from the line). Lines with fewer than two
+    * columns are counted as malformed instead of throwing.
+    */
+  def parseGoldTab(lines: Seq[String]): Parsed[(String, String, Double)] = {
+    val (good, bad) = lines.filter(_.nonEmpty)
+      .map(_.split("\t"))
+      .partition(_.length >= 2)
+    Parsed(good.map(v => (v(0), v(1), 0.0)), bad.size)
+  }
+
+  /** Parse the reference's link-classifier training CSV (actually
+    * tab-separated; LinkTrainingData.lineToLink, LinkTrainingData
+    * .scala:22-36): `label \t queryId \t usedEntityString \t expectedLink
+    * [\t ...]`; label is TRIMMED and compared to "CORRECT" (the reference's
+    * `label.trim == "CORRECT"`). Shorter lines are the reference's
+    * "Malformed training line" stderr path — counted here.
+    */
+  def parseLinkTrainingCsv(lines: Seq[String])
+      : Parsed[(Boolean, String, String, String)] = {
+    val (good, bad) = lines.filter(_.nonEmpty)
+      .map(_.split("\t"))
+      .partition(_.length >= 4)
+    Parsed(good.map(v => (v(0).trim == "CORRECT", v(1), v(2), v(3))), bad.size)
+  }
 }

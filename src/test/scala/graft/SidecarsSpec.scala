@@ -31,6 +31,31 @@ class SidecarsSpec extends SparkSpec {
     assert(ner2.getAs[scala.collection.Seq[String]]("people") == Seq.empty)
   }
 
+  test("gold .tab reader: cols 0-1, confidence forced 0.0, malformed counted (S7 parity)") {
+    val p = Sidecars.parseGoldTab(Seq(
+      "q1\tE000001\t0.87",   // extra cols ignored, conf FORCED to 0.0
+      "q2\tNIL0001",
+      "justonecolumn",       // malformed: skipped + counted, not thrown
+      "",                    // blank: ignored entirely
+      "q3\tE000002"))
+    assert(p.rows == Seq(("q1", "E000001", 0.0), ("q2", "NIL0001", 0.0),
+      ("q3", "E000002", 0.0)))
+    assert(p.malformed == 1)
+  }
+
+  test("link-training CSV reader: label trimmed vs CORRECT, malformed counted (G1 parity)") {
+    val p = Sidecars.parseLinkTrainingCsv(Seq(
+      " CORRECT \tq1\tAcme Corp\tAcme Corporation\textra",
+      "WRONG\tq2\tGlobex\tGlobex Corp",
+      "CORRECT\tq3",         // too short: the reference's stderr path
+      "incorrect\tq4\tInitech\tInitech Inc"))
+    assert(p.rows == Seq(
+      (true, "q1", "Acme Corp", "Acme Corporation"),
+      (false, "q2", "Globex", "Globex Corp"),
+      (false, "q4", "Initech", "Initech Inc")))
+    assert(p.malformed == 1)
+  }
+
   test("reference text formats parse (tab line + 4-line groups)") {
     val coref = Sidecars.parseCorefMentions(Seq(
       "q1\tacme corp\tthe company", "q2\tglobex inc"))
