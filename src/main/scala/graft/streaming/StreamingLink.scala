@@ -13,11 +13,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * The reference is batch-only (SURVEY.md §1.3); this is engine capability
   * for ingest-time linking: the state per alias is ONE string (the minted
   * cluster id), so state size is bounded by the number of DISTINCT aliases,
-  * not the stream length. A long-running deploy would add a state TTL
-  * (ProcessingTimeTimeout + setTimeoutDuration) to expire dormant aliases;
-  * the operator here uses NoTimeout because processing-time timeouts make
+  * not the stream length. For long-running deploys, pass `ttl` to expire
+  * dormant aliases via ProcessingTimeTimeout (state removed on timeout; a
+  * returning alias mints a FRESH cluster id — the deploy trade: bounded
+  * state in exchange for id stability only within the TTL window). The
+  * default stays NoTimeout because processing-time timeouts make
   * `processAllAvailable` unreliable in tests (it never quiesces while
-  * timeout batches keep scheduling) — the TTL is a one-line deploy switch.
+  * timeout batches keep scheduling); the transition function itself is
+  * TestGroupState-covered either way (StreamingSpec).
   */
 object StreamingLink {
 
@@ -29,30 +32,46 @@ object StreamingLink {
     * reference's getOrElseUpdate semantics made deterministic per group
     * because Spark serializes calls per key).
     */
-  private[streaming] def assign(
+  private[graft] def assign(
       alias: String,
       events: Iterator[MentionEvent],
-      state: GroupState[String]): Iterator[LinkAssignment] = {
+      state: GroupState[String],
+      ttl: Option[scala.concurrent.duration.Duration] = None): Iterator[LinkAssignment] = {
+    // TTL expiry: Spark invokes the function once with an empty batch and
+    // hasTimedOut set when no event arrived for the alias within the TTL —
+    // drop the state (the dormant alias's id) and emit nothing
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     val batch = events.toSeq
     val clusterId = state.getOption.getOrElse {
       val minted = "NIL:" + batch.map(_.mentionId).min // deterministic within batch
       state.update(minted)
       minted
     }
+    // refresh the expiry clock on every batch that touches the alias
+    ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
     batch.iterator.map(e => LinkAssignment(e.mentionId, e.alias, clusterId))
   }
 
   /** Wire the stateful assignment over a (possibly streaming) mention
-    * Dataset. Output mode: update (one row per input mention).
+    * Dataset. Output mode: update (one row per input mention). `ttl`
+    * switches on ProcessingTimeTimeout state expiry for dormant aliases.
     */
-  def assignClusters(mentions: Dataset[MentionEvent]): Dataset[LinkAssignment] = {
+  def assignClusters(mentions: Dataset[MentionEvent],
+                     ttl: Option[scala.concurrent.duration.Duration] = None)
+      : Dataset[LinkAssignment] = {
     val spark = mentions.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     mentions
       .groupByKey(_.alias)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      .mapGroupsWithState(timeoutConf)(
         (alias: String, it: Iterator[MentionEvent], st: GroupState[String]) =>
-          assign(alias, it, st).toSeq)
+          assign(alias, it, st, ttl).toSeq)
       .flatMap(identity)
   }
 }

@@ -75,6 +75,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming link TTL: dormant alias state expires, returning alias re-mints (VERDICT r3 #6)") {
+    import graft.streaming.StreamingLink
+    import graft.streaming.StreamingLink.MentionEvent
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    import scala.concurrent.duration._
+    val ttl = Some(10.minutes: Duration)
+    def state(init: Optional[String], nowMs: Long, timedOut: Boolean) =
+      TestGroupState.create[String](init,
+        GroupStateTimeout.ProcessingTimeTimeout, nowMs,
+        Optional.empty[java.lang.Object]().asInstanceOf[Optional[Long]], timedOut)
+
+    // batch 1: alias seen, id minted, timeout clock armed
+    val st1 = state(Optional.empty(), 0L, timedOut = false)
+    val out1 = StreamingLink.assign("acme",
+      Iterator(MentionEvent("m2", "acme"), MentionEvent("m1", "acme")), st1, ttl).toSeq
+    assert(out1.forall(_.clusterId == "NIL:m1"))
+    assert(st1.get == "NIL:m1")
+    assert(st1.getTimeoutTimestampMs.isPresent,
+      "TTL variant must arm the processing-time timeout")
+
+    // TTL fires: Spark calls with an empty batch + hasTimedOut — state drops
+    val st2 = state(Optional.of("NIL:m1"), 700000L, timedOut = true)
+    val out2 = StreamingLink.assign("acme", Iterator.empty, st2, ttl).toSeq
+    assert(out2.isEmpty, "timeout invocation emits no assignments")
+    assert(st2.isRemoved, "dormant alias state must be removed on timeout")
+
+    // the alias returns after expiry: a FRESH id is minted (documented trade)
+    val st3 = state(Optional.empty(), 800000L, timedOut = false)
+    val out3 = StreamingLink.assign("acme", Iterator(MentionEvent("m9", "acme")), st3, ttl).toSeq
+    assert(out3.map(_.clusterId) == Seq("NIL:m9"))
+
+    // and the NoTimeout default must never arm a timeout
+    val st4 = TestGroupState.create[String](Optional.empty(),
+      GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[java.lang.Object]().asInstanceOf[Optional[Long]], false)
+    StreamingLink.assign("acme", Iterator(MentionEvent("m1", "acme")), st4).toSeq
+    assert(!st4.getTimeoutTimestampMs.isPresent)
+  }
+
   test("enrich produces identical results in batch mode (one code path)") {
     val batch = Seq((1L, "the cat and the dog is here")).toDF("doc_id", "text")
     val got = StreamingDedup.enrich(batch, "text")
