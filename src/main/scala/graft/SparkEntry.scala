@@ -545,18 +545,35 @@ object SparkEntry {
         .select($"c_custkey", $"c_mktsegment")
         .orderBy($"c_custkey")
     }),
-    // ---- non-SQL-expressible ops (rows-only driver check)
-    // simhash fingerprints + near-dup groups over documents
+    // ---- non-SQL-expressible ops (golden-parquet oracles)
+    // simhash fingerprints + near-dup groups over documents. Each group
+    // carries max_edge_hamming — ≤ 3 BY CONSTRUCTION (every verified edge
+    // passed the threshold), so the column is independently checkable
+    // without the golden (VERDICT r3 #2b); 0 for singleton groups
     "q_simhash_dedup" -> ((s, d) => {
       import s.implicits._
-      Dedup.simhash(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
-        .groupBy($"dupGroup").agg(count(lit(1)).as("members"))
+      val r = Dedup.simhashDetailed(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+      val groups = r.assignments.groupBy($"dupGroup").agg(count(lit(1)).as("members"))
+      val maxH = r.edges
+        .join(r.assignments.select($"id".as("src"), $"dupGroup"), "src")
+        .groupBy($"dupGroup").agg(max($"hamming").as("mh"))
+      groups.join(maxH, Seq("dupGroup"), "left")
+        .select($"dupGroup", $"members",
+          coalesce($"mh", lit(0)).cast("long").as("max_edge_hamming"))
     }),
-    // minhash-LSH near-dup groups (dedup op #2)
+    // minhash-LSH near-dup groups (dedup op #2), with the analogous
+    // invariant column: min verified edge Jaccard ≥ 0.7 by construction
+    // (1.0 for singleton groups)
     "q_minhash_dedup" -> ((s, d) => {
       import s.implicits._
-      Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text")
-        .groupBy($"dupGroup").agg(count(lit(1)).as("members"))
+      val r = Dedup.minhashLshDetailed(t(s, d, "documents"), "doc_id", "text")
+      val groups = r.assignments.groupBy($"dupGroup").agg(count(lit(1)).as("members"))
+      val minJ = r.edges
+        .join(r.assignments.select($"id".as("src"), $"dupGroup"), "src")
+        .groupBy($"dupGroup").agg(min($"jaccard").as("mj"))
+      groups.join(minJ, Seq("dupGroup"), "left")
+        .select($"dupGroup", $"members",
+          round(coalesce($"mj", lit(1.0)), 4).as("min_edge_jaccard"))
     }),
     // LSH ANN top-k, self-checking (scale path of q_embed_topk): per-probe
     // recall vs the exact brute-force top-k — the rows make a recall
@@ -705,12 +722,28 @@ object SparkEntry {
     // full pipeline on the synthetic corpus (smoke within queries), with the
     // KB stage AND both F10 extraction side tables on: decisions carry real
     // E* ids for anchored families, and scored pairs carry linkSim + argSim
-    // end-to-end
+    // end-to-end. The spec gates are surfaced IN the artifact (VERDICT r3
+    // #2c) as constant columns: gold_pair_f1 (pairwise F1 vs the synthetic
+    // GOLD clusters, ≥ 0.99 by the PipelineSpec gate) and kb_link_acc
+    // (E*-decision accuracy vs the gold mention→entity map, ≥ 0.97) — both
+    // independently checkable without the golden parquet
     "q_pipeline_decisions" -> ((s, _) => {
-      Pipeline.run(s, SynthCorpus.corpus(s), SynthCorpus.aliasDict,
+      import s.implicits._
+      val res = Pipeline.run(s, SynthCorpus.corpus(s), SynthCorpus.aliasDict,
         kb = Some(SynthCorpus.kb(s)),
         extractions = Some(SynthCorpus.extractions(s)),
-        argExtractions = Some(SynthCorpus.argExtractions(s))).decisions
+        argExtractions = Some(SynthCorpus.argExtractions(s)))
+      val f1 = Evaluation.pairwiseF1(res.pairs.select($"leftId", $"rightId"),
+        res.decisions, SynthCorpus.gold(s)).f1
+      val kb = res.decisions.where($"clusterId".startsWith("E"))
+        .join(SynthCorpus.goldKb(s), $"mentionId" === $"id")
+      val kbN = kb.count()
+      val kbAcc =
+        if (kbN == 0) 0.0
+        else kb.where($"clusterId" === $"goldKbId").count().toDouble / kbN
+      res.decisions
+        .withColumn("gold_pair_f1", round(lit(f1), 4))
+        .withColumn("kb_link_acc", round(lit(kbAcc), 4))
     }),
     // B1 KB half — mention→KB candidate linking (the reference flagship,
     // RunKBPEntityLinkerSystem.scala:56-128): mentions from part names, KB =
@@ -1279,7 +1312,48 @@ object SparkEntry {
     "q_minhash_dedup" -> goldenSql("q_minhash_dedup"),
     "q_simhash_dedup" -> goldenSql("q_simhash_dedup"),
     "q_minhash_blocks" -> goldenSql("q_minhash_blocks"),
-    "q_text_analysis" -> goldenSql("q_text_analysis"),
+    // q_text_analysis left the golden set in r4 (VERDICT r3 #2a): every
+    // output column is SQL-expressible — langId mirrors the q_langid chain,
+    // quality/token counts are arithmetic, and fp_len (the winnowing
+    // fingerprint LENGTH) is closed-form: windows = max(nTok-4, 1) hashed
+    // 5-shingles, winnowed to ceil(windows/8) strides, min 1. The fp VALUES
+    // stay covered by the edit-locality spec (TextAnalysis winnowing).
+    "q_text_analysis" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(text, '\s+') AS toks,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> len(t) > 0) AS atoks,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> t IN ('the','and','of','to','is','in','that','with'))) AS en,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> t IN ('el','la','de','que','y','los','en','una'))) AS es,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> t IN ('der','die','das','und','ist','nicht','mit','ein'))) AS de,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> t IN ('le','la','les','de','et','est','une','que'))) AS fr
+        |  FROM documents),
+        |q AS (
+        |  SELECT *, CAST(greatest(len(toks), 1) AS DOUBLE) AS ntok,
+        |    CASE WHEN len(atoks) < 5 THEN 1 ELSE len(atoks) - 4 END AS nwin
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+        |    WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+        |    WHEN es >= de AND es >= fr THEN 'es'
+        |    WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred,
+        |  round(
+        |    (CASE WHEN ntok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.2 END) * 0.25
+        |    + (CASE WHEN length(text) / ntok BETWEEN 2.0 AND 12.0
+        |       THEN 1.0 ELSE 0.3 END) * 0.25
+        |    + ((length(text) - length(regexp_replace(text, '[\p{L}\p{N} ]', '', 'g')))
+        |       / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.25
+        |    + (len(list_distinct(toks)) / ntok) * 0.25, 4) AS quality,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+        |    AS BIGINT) AS n_tokens_bpe,
+        |  CAST(greatest(CAST(ceil(nwin / 8.0) AS INT), 1) AS INT) AS fp_len
+        |FROM q ORDER BY doc_id""".stripMargin,
     "q_lsh_topk" -> goldenSql("q_lsh_topk"),
     "q_multimodal_features" -> goldenSql("q_multimodal_features"),
     "q_pipeline_decisions" -> goldenSql("q_pipeline_decisions"),

@@ -29,6 +29,15 @@ object Dedup {
       .select(col("id"), col("keeper"), col("copies"), col("h"))
   }
 
+  /** Assignments (id, dupGroup) plus the VERIFIED edge frame that produced
+    * them (src, dst, jaccard|hamming) — the edges carry the by-construction
+    * invariant (every edge passed the verification threshold), so a
+    * consumer can audit group quality without re-running verification
+    * (VERDICT r3 #2b: golden oracles get an independently-checkable
+    * column from these).
+    */
+  final case class NearDups(assignments: DataFrame, edges: DataFrame)
+
   /** MinHash+LSH near-dup: shingle → minhash → band → salted bucket pair
     * generation → verified Jaccard ≥ `threshold` edges → connected
     * components. Returns (id, dupGroup).
@@ -41,7 +50,12 @@ object Dedup {
     * the same aggregation it needs anyway.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 conf: GraftConf = GraftConf(), threshold: Double = 0.7): DataFrame = {
+                 conf: GraftConf = GraftConf(), threshold: Double = 0.7): DataFrame =
+    minhashLshDetailed(df, idCol, textCol, conf, threshold).assignments
+
+  /** `minhashLsh` plus the verified edges (src, dst, jaccard ≥ threshold). */
+  def minhashLshDetailed(df: DataFrame, idCol: String, textCol: String,
+                         conf: GraftConf = GraftConf(), threshold: Double = 0.7): NearDups = {
     import df.sparkSession.implicits._
     // the tokenize→shingle→minhash frame feeds FOUR consumers (block keys,
     // both verification sides, CC nodes) — persist it or the expensive
@@ -62,9 +76,10 @@ object Dedup {
     val cand = Blocking.candidatePairs(blocks, conf)
       .select($"leftId", $"rightId")
 
-    // verify candidates with exact shingle Jaccard
+    // verify candidates with exact shingle Jaccard; the edge frame is cut
+    // (materialized) because it feeds BOTH the CC run and the caller
     val sides = toks.select($"id", $"shingles")
-    val verified = cand
+    val verified = Lineage.cut(cand
       .join(sides.select($"id".as("leftId"), $"shingles".as("ls")), "leftId")
       .join(sides.select($"id".as("rightId"), $"shingles".as("rs")), "rightId")
       .withColumn("inter",
@@ -72,12 +87,13 @@ object Dedup {
       .withColumn("jaccard",
         $"inter".cast("double") / (size($"ls") + size($"rs") - $"inter"))
       .where($"jaccard" >= threshold)
-      .select($"leftId".as("src"), $"rightId".as("dst"))
+      .select($"leftId".as("src"), $"rightId".as("dst"), $"jaccard"))
 
-    val out = Lineage.cut(ConnectedComponents.run(toks.select($"id"), verified)
-      .withColumnRenamed("component", "dupGroup")) // materialize before releasing toks
+    val out = Lineage.cut(
+      ConnectedComponents.run(toks.select($"id"), verified.select($"src", $"dst"))
+        .withColumnRenamed("component", "dupGroup")) // materialize before releasing toks
     toks.unpersist()
-    out
+    NearDups(out, verified)
   }
 
   /** SimHash near-dup: 64-bit signature, candidates share one of 4 16-bit
@@ -90,7 +106,12 @@ object Dedup {
     * pairs as two narrow equi-joins.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-              maxHamming: Int = 3, conf: GraftConf = GraftConf()): DataFrame = {
+              maxHamming: Int = 3, conf: GraftConf = GraftConf()): DataFrame =
+    simhashDetailed(df, idCol, textCol, maxHamming, conf).assignments
+
+  /** `simhash` plus the verified edges (src, dst, hamming ≤ maxHamming). */
+  def simhashDetailed(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, conf: GraftConf = GraftConf()): NearDups = {
     import df.sparkSession.implicits._
     // signature frame feeds four consumers (chunk keys, two signature-side
     // joins, CC nodes) — persist, same rationale as minhashLsh
@@ -108,17 +129,18 @@ object Dedup {
       .select($"id", concat($"c.ci", lit(":"), $"c.cv").as("key"))
 
     val sigs = toks.select($"id", $"sig")
-    val cand = Blocking.candidatePairs(blocks, conf)
+    // verified edges cut (materialized): they feed the CC run AND the caller
+    val edges = Lineage.cut(Blocking.candidatePairs(blocks, conf)
       .join(sigs.select($"id".as("leftId"), $"sig".as("lsig")), "leftId")
       .join(sigs.select($"id".as("rightId"), $"sig".as("rsig")), "rightId")
       .withColumn("hamming", bit_count($"lsig".bitwiseXOR($"rsig")))
       .where($"hamming" <= maxHamming)
-
-    val edges = cand.select($"leftId".as("src"), $"rightId".as("dst"))
-    val out = Lineage.cut(ConnectedComponents.run(toks.select($"id"), edges)
-      .withColumnRenamed("component", "dupGroup"))
+      .select($"leftId".as("src"), $"rightId".as("dst"), $"hamming"))
+    val out = Lineage.cut(
+      ConnectedComponents.run(toks.select($"id"), edges.select($"src", $"dst"))
+        .withColumnRenamed("component", "dupGroup"))
     toks.unpersist()
-    out
+    NearDups(out, edges)
   }
 
   /** Pair frame + the overflow metrics frame for capped blocked dedup. */

@@ -30,7 +30,7 @@ object GoldenGen {
     * exact brute force inside their own output.
     */
   val goldenQueries = Seq(
-    "q_minhash_dedup", "q_simhash_dedup", "q_minhash_blocks", "q_text_analysis",
+    "q_minhash_dedup", "q_simhash_dedup", "q_minhash_blocks",
     "q_lsh_topk", "q_multimodal_features", "q_pipeline_decisions", "q_ivf_topk")
   // resolved from the working dir / env so a relocated checkout regenerates
   // in place (ADVICE r3); defaults match the driver sandbox
@@ -39,6 +39,12 @@ object GoldenGen {
     new java.io.File("src/test/resources/golden").getAbsolutePath
 
   def main(args: Array[String]): Unit = {
+    // optional args: regenerate ONLY the named queries (keeps unrelated
+    // goldens byte-identical when one query's schema changes — ADVICE r3
+    // asks for regeneration commits scoped to the intentional change)
+    val wanted =
+      if (args.isEmpty) goldenQueries
+      else { require(args.forall(goldenQueries.contains), s"unknown: ${args.mkString(",")}"); args.toSeq }
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-goldens")
@@ -47,7 +53,7 @@ object GoldenGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    goldenQueries.foreach { name =>
+    wanted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.coalesce(1).write.mode("overwrite")
         .parquet(s"$outRoot/$name.parquet")
