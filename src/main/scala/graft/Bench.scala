@@ -131,8 +131,10 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum + pipeSec
+    // families/variants pin the corpus config IN the artifact so rounds stay
+    // comparable if the sf→families mapping ever changes (VERDICT r3 #8)
     println(
-      f"""{"metric":"scored_pairs_per_sec","value":$pairsPerSec%.1f,"unit":"pairs/sec","scored_pairs":$nPairs%d,"pipeline_sec":$pipeSec%.3f,"pipeline_reps_sec":$repsJson%s,"pipeline_reps_loadavg":$loadJson%s,"total_sec":$total%.3f,"queries":$qs%s,"errors":$errs%s,"sf":"$sfDir%s","cpus":$cpus%d}""")
+      f"""{"metric":"scored_pairs_per_sec","value":$pairsPerSec%.1f,"unit":"pairs/sec","scored_pairs":$nPairs%d,"families":$fams%d,"variants":8,"pipeline_sec":$pipeSec%.3f,"pipeline_reps_sec":$repsJson%s,"pipeline_reps_loadavg":$loadJson%s,"total_sec":$total%.3f,"queries":$qs%s,"errors":$errs%s,"sf":"$sfDir%s","cpus":$cpus%d}""")
     spark.stop()
   }
 }

@@ -7,6 +7,48 @@ import org.apache.spark.sql.functions._
 class ScoringSpec extends SparkSpec {
   import spark.implicits._
 
+  test("calibration: dormant F12 features refit on synth KB candidates (info report, no gate)") {
+    // VERDICT r3 #9: feed the dormant feature set + nameAmbiguity into a
+    // refit on the synthetic corpus and REPORT which features earn weight —
+    // turning the parity surface into measured signal. Info-level only.
+    val conf = GraftConf()
+    val files = SynthCorpus.corpus(spark)
+    val mentions = Mentions.prepare(spark, files, SynthCorpus.aliasDict, conf).cache()
+    val kb = SynthCorpus.kb(spark)
+    // prefixLen=1 for candidate generation only: the default keys are so
+    // discriminative on the synthetic corpus that every candidate is the
+    // gold entity — 1-char prefixes add cross-family candidates so the
+    // refit sees NEGATIVES too
+    val cand = KbLink.candidates(mentions, kb, conf.copy(prefixLen = 1))
+      .join(mentions.select($"id", $"name", $"entityString"), "id")
+      .join(kb.select($"kbId", $"kbName"), "kbId")
+    val amb = KbLink.nameAmbiguity(
+      mentions.select($"entityString"), kb.select($"kbName"))
+    val featCols = Seq("originalNameMatch", "fullNameMatch", "fullNameFound",
+      "fullNameLength", "originalNameLength", "nameLength", "nameAmbiguity")
+    val labeled = KbLink.dormantFeatures(cand, Some(amb))
+      .join(SynthCorpus.goldKb(spark), Seq("id"))
+      .withColumn("label", $"kbId" === $"goldKbId")
+    val rows = Reports.deterministicSample(labeled, Seq("id", "kbId"), 3000)
+      .select(featCols.map(c => col(c).cast("double")) :+
+        $"label".cast("double").as("y"): _*)
+      .collect()
+    val ex = rows.map(r => LogisticTrainer.Example(
+      Array.tabulate(featCols.size)(i => r.getDouble(i)),
+      r.getDouble(featCols.size))).toSeq
+    assert(ex.nonEmpty && ex.exists(_.label == 1.0) && ex.exists(_.label == 0.0))
+    val w = LogisticTrainer.fit(ex)
+    assert(w.forall(x => !x.isNaN && !x.isInfinite), "refit must stay finite")
+    val report = featCols.zipWithIndex
+      .map { case (c, i) => f"$c=${w(i + 1)}%.3f" }.mkString(", ")
+    info(f"dormant-feature refit on ${ex.size} candidates: bias=${w(0)}%.3f, $report")
+    val earning = featCols.zipWithIndex
+      .filter { case (_, i) => math.abs(w(i + 1)) > 0.1 }.map(_._1)
+    info(s"dormant features earning |w|>0.1: " +
+      (if (earning.isEmpty) "none" else earning.mkString(", ")))
+    mentions.unpersist()
+  }
+
   test("logistic trainer separates synthetic labeled pairs; refit weights hit the F1 gate") {
     // labeled pairs from the synthetic corpus (reference caps at 3000,
     // MentionPairTrainingData.scala:45-53)
