@@ -733,15 +733,20 @@ object SparkEntry {
         kb = Some(SynthCorpus.kb(s)),
         extractions = Some(SynthCorpus.extractions(s)),
         argExtractions = Some(SynthCorpus.argExtractions(s)))
-      val f1 = Evaluation.pairwiseF1(res.pairs.select($"leftId", $"rightId"),
-        res.decisions, SynthCorpus.gold(s)).f1
-      val kb = res.decisions.where($"clusterId".startsWith("E"))
+      // decisions is tiny (one row per mention) but derived from the whole
+      // plan — persist it across the three consumers below; pairs come off
+      // the PERSISTED scored frame (same pair set, no blocking recompute)
+      val dec = res.decisions
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val f1 = Evaluation.pairwiseF1(res.scored.select($"leftId", $"rightId"),
+        dec, SynthCorpus.gold(s)).f1
+      val kb = dec.where($"clusterId".startsWith("E"))
         .join(SynthCorpus.goldKb(s), $"mentionId" === $"id")
       val kbN = kb.count()
       val kbAcc =
         if (kbN == 0) 0.0
         else kb.where($"clusterId" === $"goldKbId").count().toDouble / kbN
-      res.decisions
+      dec
         .withColumn("gold_pair_f1", round(lit(f1), 4))
         .withColumn("kb_link_acc", round(lit(kbAcc), 4))
     }),
