@@ -740,12 +740,14 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val f1 = Evaluation.pairwiseF1(res.scored.select($"leftId", $"rightId"),
         dec, SynthCorpus.gold(s)).f1
-      val kb = dec.where($"clusterId".startsWith("E"))
+      val kbRow = dec.where($"clusterId".startsWith("E"))
         .join(SynthCorpus.goldKb(s), $"mentionId" === $"id")
-      val kbN = kb.count()
+        .agg(count(lit(1)).as("n"),
+          sum(when($"clusterId" === $"goldKbId", 1L).otherwise(0L)).as("ok"))
+        .head()
       val kbAcc =
-        if (kbN == 0) 0.0
-        else kb.where($"clusterId" === $"goldKbId").count().toDouble / kbN
+        if (kbRow.getLong(0) == 0L) 0.0
+        else kbRow.getLong(1).toDouble / kbRow.getLong(0)
       dec
         .withColumn("gold_pair_f1", round(lit(f1), 4))
         .withColumn("kb_link_acc", round(lit(kbAcc), 4))
