@@ -41,14 +41,32 @@ object KbEtl {
     * whitespace to single spaces — which leaves the reference's trailing
     * space when anything was accumulated (quirk preserved).
     */
+  /** Java `String.split(" ")` length, as a column: Java's default limit 0
+    * REMOVES trailing empty fields (and an all-separator string splits to
+    * length 0, while "" splits to length 1) — Spark's split keeps trailing
+    * empties for every limit, so a paragraph ending in a space would count
+    * one word more and flip the reference's >7 / <1500 boundaries.
+    * Randomized-equivalence-tested in KbEtlSpec against a literal
+    * reimplementation of the reference loop.
+    */
+  private def javaWordCount(c: Column): Column = {
+    val trimmed = regexp_replace(c, " +$", "")
+    when(c === "", 1)
+      .otherwise(when(trimmed === "", 0)
+        .otherwise(size(split(trimmed, " "))))
+  }
+
   def firstParagraph(text: Column): Column = {
+    // trailing empty PARAGRAPHS (Java drops, Spark keeps) are harmless:
+    // they never pass the >7-word filter, so no java-split emulation needed
+    // on the paragraph split itself
     val all = split(coalesce(text, lit("")), "\n\n")
     val paras = slice(all, lit(2), greatest(size(all) - 1, lit(0)))
     aggregate(
       paras,
       lit(""),
       (ctx, p) => when(
-        size(split(ctx, " ")) < 1500 && size(split(p, " ")) > 7,
+        javaWordCount(ctx) < 1500 && javaWordCount(p) > 7,
         concat(ctx, p, lit("\n"))).otherwise(ctx),
       ctx => regexp_replace(ctx, "\\s+", " "))
   }

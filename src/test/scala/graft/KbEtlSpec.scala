@@ -45,6 +45,53 @@ class KbEtlSpec extends SparkSpec {
     assert(intro(messy) == "words spread across whitespace runs in this long paragraph ")
   }
 
+  test("firstParagraph matches a literal reimplementation of the reference loop on random texts") {
+    // WikiMappingHelper.getKBFirstParagraph, transcribed verbatim as the
+    // oracle: tail-drop, java-split word counts (limit 0: trailing empties
+    // removed), >7-word filter, <1500 check BEFORE each paragraph, "\n"
+    // joins, final whitespace collapse
+    def reference(text: String): String = {
+      val paragraphs = text.split("\n\n").tail
+      var context = ""
+      var contextSize = context.split(" ").length
+      var i = 0
+      while (contextSize < 1500 && i < paragraphs.length) {
+        val p = paragraphs(i)
+        if (p.split(" ").length > 7) context += p + "\n"
+        i += 1
+        contextSize = context.split(" ").length
+      }
+      context.replaceAll("\\s+", " ")
+    }
+    val rnd = new scala.util.Random(4242)
+    def word() = (0 until 1 + rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def para() = {
+      val n = rnd.nextInt(12) match {
+        case 0 => 0
+        case 1 => 7 // exactly-7 boundary
+        case 2 => 8 // just-over boundary
+        case 3 => 200 + rnd.nextInt(300) // pushes the 1500-word stop
+        case k => k
+      }
+      val sep = () => rnd.nextInt(8) match {
+        case 0 => "  " // double space: counts an empty field either way
+        case 1 => "\t" // tab: merged by the final \s+ collapse
+        case _ => " "
+      }
+      val body = (0 until n).map(_ => word()).mkString(sep())
+      if (rnd.nextInt(6) == 0) body + " " else body // trailing space: the limit-0 case
+    }
+    val texts = (0 until 60).map { _ =>
+      ("head" + rnd.nextInt(10)) + "\n\n" +
+        (0 until rnd.nextInt(14)).map(_ => para()).mkString("\n\n")
+    }
+    val got = texts.toDF("t").select($"t", KbEtl.firstParagraph($"t"))
+      .as[(String, String)].collect().toMap
+    texts.foreach { t =>
+      assert(got(t) == reference(t), s"diverged on: ${t.take(120)}...")
+    }
+  }
+
   test("fromDump: header/text/facts regexes pair per entity across a multi-entity file") {
     val xml =
       """<entity wiki_title="Alpha_Beta" type="ORG" id="E000001" name="Alpha Beta">
