@@ -14,6 +14,16 @@ object Aliases {
     * contiguous sub-spans of the expanded string, at least one word longer
     * than the original name, that contain the original name. Generator
     * (flatMap) shape: returns array<string> to `explode`.
+    *
+    * Deliberate divergences from the reference loop (both documented, both
+    * mirrored by the q_backoff oracle): (1) the FULL string is excluded —
+    * the reference's span loop emits it, but its only caller re-links
+    * strings whose full form already failed, so re-emitting it is a no-op
+    * re-query; (2) the contains-name filter is case-INsensitive where the
+    * reference's `p.contains(queryName)` is case-sensitive — a cased
+    * surface ("FORD" in "Graham Ford") should not silently drop every
+    * back-off. Duplicated spans are deduplicated (the reference keeps
+    * duplicate slices; its caller treats the list as a candidate set).
     */
   def backoffStrings(name: Column, entityString: Column): Column = {
     val words = split(entityString, "\\s+")
@@ -99,9 +109,15 @@ object Aliases {
     * untouched (abbreviations like "U.S."), anything else is lowercased
     * with its first character uppercased. NOT `initcap` — initcap would
     * rewrite "U.S." to "U.s." and treats more delimiters as word breaks.
+    * Trailing spaces are dropped as Java's `split(" ")` does (the reference
+    * word loop never sees them); inputs with empty INTERIOR words (double
+    * spaces) crash the reference outright (`newS(0)` on "") — here they
+    * pass through as empty words, the graceful superset of a crash.
+    * Randomized-equivalence-tested against a literal reimplementation of
+    * the reference loop on its non-crashing domain (ReferenceParitySpec).
     */
   def locationCasing(c: Column): Column =
-    array_join(transform(split(c, " "), w =>
+    array_join(transform(split(regexp_replace(c, " +$", ""), " "), w =>
       when(w.contains("."), w)
         .otherwise(concat(upper(substring(w, 1, 1)),
           lower(substring(w, 2, Int.MaxValue))))), " ")
@@ -152,11 +168,27 @@ object Aliases {
     * inside the first (offset + len(cand) − 1) chars — found as the FIRST
     * occurrence of reverse(cand) in the reversed prefix, whose 1-based
     * position IS the distance.
+    *
+    * EXACTLY the reference semantics with `offset` read as the 0-based
+    * `begOffset`: an occurrence with 0-based start s contributes iff
+    * s < offset, and the closed-form distance equals offset − s
+    * (randomized-equivalence-tested against a literal reimplementation of
+    * the reference's indexOf loop in ReferenceParitySpec, including the
+    * no-occurrence → doc-length default and case-sensitive matching).
     */
   def minDistanceBefore(doc: Column, offset: Column, cand: Column): Column = {
-    val prefixExt = doc.substr(lit(1), offset + length(cand) - 1)
+    val wanted = offset + length(cand) - 1
+    val prefixExt = doc.substr(lit(1), wanted)
+    // when the wanted prefix overruns the document (offset at/past the end),
+    // the reversed-prefix position is short by the truncated amount — add it
+    // back so the distance is still offset − start (caught by the randomized
+    // reference-equivalence test)
+    val deficit = greatest(wanted - length(doc), lit(0))
     val p = call_function("instr", reverse(prefixExt), reverse(cand))
-    when(p > 0, p.cast("long")).otherwise(length(doc).cast("long"))
+    // the reference initializes minDistance to the doc length and takes the
+    // min, so a far-away occurrence can never exceed it — cap to match
+    when(p > 0, least(p + deficit, length(doc)).cast("long"))
+      .otherwise(length(doc).cast("long"))
   }
 
   /** A5 — proximity sort: candidates ascending by min positive distance
