@@ -145,7 +145,10 @@ object Aliases {
     val qualifies = (ne: Column) => exists(intervals, iv => {
       val s = iv.getField("start")
       val e = iv.getField("end")
-      (e - s) < 50 &&
+      // `offsets.size < 50` on a CLOSED interval is e − s + 1 < 50 (the
+      // previous e − s < 50 admitted size-50 chains — randomized parity
+      // test caught the off-by-one)
+      (e - s + 1) < 50 &&
         lower(substring(doc, s + 1, e - s + 1)).contains(lower(ne))
     })
     val cands = transform(
