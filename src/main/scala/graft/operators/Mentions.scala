@@ -49,6 +49,14 @@ object Mentions {
 
   /** Initialism of a multi-word string (reference toAbbr,
     * MentionPairFeatures.scala:26-27): first letter of each word.
+    *
+    * Deliberate divergences: (1) the split set adds / _ - for the code
+    * domain (repo names like "scikit-learn"); (2) case is PRESERVED rather
+    * than uppercased — the reference uppercases its abbrs but then compares
+    * them against LOWERCASED surface names (`abbrs.contains(n1)` at :70),
+    * so its Abbr feature can never fire on an alphabetic name; preserving
+    * case (with lowercased comparison where KbLink needs it) keeps the
+    * feature's INTENT effective instead of reproducing the vacuous quirk.
     */
   def initialism(c: Column): Column =
     array_join(transform(split(c, "[\\s/_-]+"), w => substring(w, 1, 1)), "")
