@@ -346,13 +346,18 @@ object SparkEntry {
         round($"b3p", 6).as("b3p"), round($"b3r", 6).as("b3r"),
         round(lit(2.0) * $"b3p" * $"b3r" / ($"b3p" + $"b3r"), 6).as("b3f1"))
     }),
-    // G9 benchmark category counts (Benchmarker.scala:80-128 when-chain)
+    // G9 benchmark category counts (Benchmarker.scala:92-130 when-chain,
+    // incl. the both-NIL cluster-SET comparison: system NILs are bucketed
+    // by tens so multi-member system NIL clusters disagree with the
+    // singleton gold NILs -> WRONG NIL ID; a bucket with exactly one
+    // both-NIL member agrees -> NIL OK)
     "q_categories" -> ((s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
       val sys = docs.select($"doc_id".as("mentionId"),
         when($"doc_id" % 2 === 0, concat(lit("E:"), $"lang"))
-          .otherwise(concat(lit("NIL:"), $"doc_id")).as("clusterId"))
+          .when($"doc_id" < 250, concat(lit("NIL:"), $"doc_id")) // singleton: NIL OK
+          .otherwise(concat(lit("NIL:"), ($"doc_id" - $"doc_id" % 10))).as("clusterId"))
       val gold = docs.select($"doc_id".as("id"),
         when($"doc_id" % 4 =!= 3, concat(lit("E:"), $"lang"))
           .otherwise(concat(lit("NIL:"), $"doc_id")).as("gold"))
@@ -1006,12 +1011,17 @@ object SparkEntry {
     "q_categories" ->
       """WITH sys AS (SELECT doc_id AS mentionId,
         |    CASE WHEN doc_id % 2 = 0 THEN 'E:' || lang
-        |         ELSE 'NIL:' || CAST(doc_id AS VARCHAR) END AS sysId
+        |         WHEN doc_id < 250 THEN 'NIL:' || CAST(doc_id AS VARCHAR)
+        |         ELSE 'NIL:' || CAST(doc_id - doc_id % 10 AS VARCHAR) END AS sysId
         |  FROM documents),
         |gold AS (SELECT doc_id AS mentionId,
         |    CASE WHEN doc_id % 4 != 3 THEN 'E:' || lang
         |         ELSE 'NIL:' || CAST(doc_id AS VARCHAR) END AS goldId
-        |  FROM documents)
+        |  FROM documents),
+        |j AS (SELECT mentionId, sysId, goldId FROM sys JOIN gold USING (mentionId)),
+        |ss AS (SELECT sysId, count(*) AS sysSize FROM j GROUP BY 1),
+        |gs AS (SELECT goldId, count(*) AS goldSize FROM j GROUP BY 1),
+        |xs AS (SELECT sysId, goldId, count(*) AS interSize FROM j GROUP BY 1, 2)
         |SELECT category, count(*) AS n FROM (
         |  SELECT CASE
         |    WHEN sysId NOT LIKE 'NIL%' AND goldId NOT LIKE 'NIL%'
@@ -1019,8 +1029,10 @@ object SparkEntry {
         |    WHEN sysId NOT LIKE 'NIL%' AND goldId NOT LIKE 'NIL%' THEN 'WRONG KB ID'
         |    WHEN sysId NOT LIKE 'NIL%' AND goldId LIKE 'NIL%' THEN 'EXPECTED NIL'
         |    WHEN sysId LIKE 'NIL%' AND goldId NOT LIKE 'NIL%' THEN 'EXPECTED KB'
-        |    ELSE 'NIL OK' END AS category
-        |  FROM sys JOIN gold USING (mentionId))
+        |    WHEN sysSize = goldSize AND goldSize = interSize THEN 'NIL OK'
+        |    ELSE 'WRONG NIL ID' END AS category
+        |  FROM j JOIN ss USING (sysId) JOIN gs USING (goldId)
+        |         JOIN xs USING (sysId, goldId))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_min_by" ->
       """WITH best AS (SELECT source, min(length(text)) AS best_len

@@ -10,22 +10,35 @@ import org.apache.spark.sql.functions._
   */
 object Reports {
 
-  /** G9 — benchmark category counts (Benchmarker.scala:80-128): each
+  /** G9 — benchmark category counts (Benchmarker.scala:92-130): each
     * mention categorized by a when-chain over (sys, gold) cluster ids;
-    * KB ids are `E*`-style (here: non-NIL).
+    * KB ids are `E*`-style (here: non-NIL). Both-NIL mentions split into
+    * NIL OK vs WRONG NIL ID by the reference's CLUSTER-SET comparison
+    * (`!sysCluster.equals(theirCluster)`): the mention's system cluster
+    * must contain exactly the same mentions as its gold cluster. Set
+    * equality is relational — |sys cluster| = |gold cluster| = |mentions
+    * sharing both ids| — three map-side-combinable aggregations, no
+    * per-cluster collect.
     */
   def categoryCounts(sys: DataFrame, gold: DataFrame): DataFrame = {
     import sys.sparkSession.implicits._
     val joined = sys.select($"mentionId", $"clusterId".as("sysId"))
       .join(gold.select($"id".as("mentionId"), $"gold".as("goldId")), "mentionId")
+    val sysSize = joined.groupBy($"sysId").agg(count(lit(1)).as("sysSize"))
+    val goldSize = joined.groupBy($"goldId").agg(count(lit(1)).as("goldSize"))
+    val inter = joined.groupBy($"sysId", $"goldId").agg(count(lit(1)).as("interSize"))
     val sysNil = $"sysId".startsWith("NIL")
     val goldNil = $"goldId".startsWith("NIL")
-    joined.withColumn("category",
+    joined
+      .join(sysSize, "sysId").join(goldSize, "goldId")
+      .join(inter, Seq("sysId", "goldId"))
+      .withColumn("category",
         when(!sysNil && !goldNil && $"sysId" === $"goldId", "CORRECT")
           .when(!sysNil && !goldNil, "WRONG KB ID")
           .when(!sysNil && goldNil, "EXPECTED NIL")
           .when(sysNil && !goldNil, "EXPECTED KB")
-          .otherwise("NIL OK"))
+          .when($"sysSize" === $"goldSize" && $"goldSize" === $"interSize", "NIL OK")
+          .otherwise("WRONG NIL ID"))
       .groupBy($"category").agg(count(lit(1)).as("n"))
       .orderBy($"category")
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Aliases
+import graft.operators.{Aliases, Evaluation, Reports}
 import org.apache.spark.sql.functions._
 
 /** Randomized equivalence against LITERAL reimplementations of the
@@ -133,6 +133,66 @@ class ReferenceParitySpec extends SparkSpec {
           (minimal.contains(got(i)) && got(i).toLowerCase.contains(name.toLowerCase))
         assert(ok, s"case $i tie-divergence outside contract: [${got(i)}]")
       }
+    }
+  }
+
+  test("b3 and categoryCounts match the Benchmarker loops on random clusterings") {
+    // Benchmarker.scala:39-77 (b3Correct + b3Precision/b3Recall) and
+    // :92-130 (category when-chain incl. the both-NIL cluster-set
+    // comparison), transcribed verbatim over (id -> sys link, id -> gold
+    // link) maps
+    def refB3(sys: Map[String, String], gold: Map[String, String]): (Double, Double) = {
+      val ids = sys.keys.toSeq.sorted
+      def b3Correct(e1: String, e2: String): Boolean = {
+        val sysSame = sys(e1) == sys(e2)
+        val goldSame = gold(e1) == gold(e2)
+        val sysKb = sys(e1).startsWith("E")
+        val goldKb = gold(e1).startsWith("E")
+        val sameLinkTypes = if (sysKb && goldKb) sys(e1) == gold(e1) else sysKb == goldKb
+        sysSame && goldSame && sameLinkTypes
+      }
+      def avgOver(clusterOf: Map[String, String]): Double = {
+        val sums = ids.map { q =>
+          val cluster = ids.filter(o => clusterOf(o) == clusterOf(q))
+          cluster.count(o => b3Correct(q, o)).toDouble / cluster.size
+        }
+        sums.sum / sums.size
+      }
+      (avgOver(sys), avgOver(gold))
+    }
+    def refCategories(sys: Map[String, String], gold: Map[String, String]): Map[String, Long] = {
+      val ids = sys.keys.toSeq.sorted
+      ids.map { q =>
+        val (g, s) = (gold(q), sys(q))
+        val (gKb, sKb) = (g.startsWith("E"), s.startsWith("E"))
+        val sysCluster = ids.filter(o => sys(o) == s).toSet
+        val goldCluster = ids.filter(o => gold(o) == g).toSet
+        if (gKb && sKb && g == s) "CORRECT"
+        else if (gKb && sKb) "WRONG KB ID"
+        else if (gKb && !sKb) "EXPECTED KB"
+        else if (!gKb && sKb) "EXPECTED NIL"
+        else if (!sysCluster.equals(goldCluster)) "WRONG NIL ID"
+        else "NIL OK"
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    }
+    val rnd = new scala.util.Random(31)
+    (0 until 6).foreach { round =>
+      val n = 12 + rnd.nextInt(20)
+      val ids = (0 until n).map(i => f"m$i%02d")
+      def assign(): Map[String, String] = ids.map { id =>
+        id -> (if (rnd.nextBoolean()) s"E${rnd.nextInt(4)}" else s"NIL${rnd.nextInt(5)}")
+      }.toMap
+      val (sysM, goldM) = (assign(), assign())
+      val sys = sysM.toSeq.toDF("mentionId", "clusterId")
+      val gold = goldM.toSeq.toDF("id", "gold")
+      val (rp, rr) = refB3(sysM, goldM)
+      val got = Evaluation.b3Exact(sys, gold)
+      assert(math.abs(got.precision - rp) < 1e-9, s"round $round P: ${got.precision} vs $rp")
+      assert(math.abs(got.recall - rr) < 1e-9, s"round $round R: ${got.recall} vs $rr")
+      val gotCats = Reports.categoryCounts(sys, gold)
+        .as[(String, Long)].collect().toMap
+      assert(gotCats == refCategories(sysM, goldM),
+        s"round $round categories: $gotCats vs ${refCategories(sysM, goldM)}")
     }
   }
 
