@@ -26,6 +26,23 @@ class DegenerateInputSpec extends SparkSpec {
       Seq.empty[(String, Seq[Double])].toDF("id", "vec"), "id", "vec").isEmpty)
   }
 
+  test("KbEtl on empty / entity-free / null dumps returns empty or empty intros") {
+    val empty = Seq.empty[String].toDF("xml")
+    assert(graft.sources.KbEtl.fromDump(empty).isEmpty)
+    val noEntities = Seq("just some text with no entity markup at all").toDF("xml")
+    assert(graft.sources.KbEtl.fromDump(noEntities).isEmpty)
+    val nullXml = Seq[(Integer, String)]((1, null)).toDF("k", "xml").select($"xml")
+    assert(graft.sources.KbEtl.fromDump(nullXml).isEmpty)
+    assert(Seq[(Integer, String)]((1, null)).toDF("k", "t")
+      .select(graft.sources.KbEtl.firstParagraph($"t")).as[String].head() == "")
+  }
+
+  test("categoryCounts on empty frames returns an empty count table") {
+    val sys = Seq.empty[(String, String)].toDF("mentionId", "clusterId")
+    val gold = Seq.empty[(String, String)].toDF("id", "gold")
+    assert(Reports.categoryCounts(sys, gold).isEmpty)
+  }
+
   test("null text rows: dedup treats them as empty content, never crashes") {
     val df = Seq(("a", "real content words here"), ("b", null), ("c", null))
       .toDF("id", "text")
