@@ -76,6 +76,17 @@ class PlanSpec extends SparkSpec {
     r.mentions.unpersist(); r.scored.unpersist(); r.components.unpersist()
   }
 
+  test("no CartesianProduct in ANY driver query plan (automated r4 plan audit)") {
+    // the by-hand plan audits of r1-r3 automated: every SparkEntry query's
+    // physical plan is free of CartesianProductExec (cross-shaped work must
+    // go through a broadcast — BroadcastNestedLoopJoin over a bounded probe
+    // side is the only sanctioned shape, e.g. q_embed_topk's probes)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = executed(fn(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"cartesian product in $name:\n$plan")
+    }
+  }
+
   test("pair self-join carries the l.id < r.id predicate into the join") {
     val blocks = Seq(("k1", "a"), ("k1", "b"), ("k1", "c")).toDF("key", "id")
     val pairs = Blocking.candidatePairs(blocks)
