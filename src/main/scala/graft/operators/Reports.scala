@@ -22,14 +22,17 @@ object Reports {
     */
   def categoryCounts(sys: DataFrame, gold: DataFrame): DataFrame = {
     import sys.sparkSession.implicits._
+    // the joined assignment frame feeds FOUR consumers (itself + the three
+    // size aggregations) — persist it or each one re-runs the input join
     val joined = sys.select($"mentionId", $"clusterId".as("sysId"))
       .join(gold.select($"id".as("mentionId"), $"gold".as("goldId")), "mentionId")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sysSize = joined.groupBy($"sysId").agg(count(lit(1)).as("sysSize"))
     val goldSize = joined.groupBy($"goldId").agg(count(lit(1)).as("goldSize"))
     val inter = joined.groupBy($"sysId", $"goldId").agg(count(lit(1)).as("interSize"))
     val sysNil = $"sysId".startsWith("NIL")
     val goldNil = $"goldId".startsWith("NIL")
-    joined
+    val out = Lineage.cut(joined
       .join(sysSize, "sysId").join(goldSize, "goldId")
       .join(inter, Seq("sysId", "goldId"))
       .withColumn("category",
@@ -40,7 +43,9 @@ object Reports {
           .when($"sysSize" === $"goldSize" && $"goldSize" === $"interSize", "NIL OK")
           .otherwise("WRONG NIL ID"))
       .groupBy($"category").agg(count(lit(1)).as("n"))
-      .orderBy($"category")
+      .orderBy($"category")) // materialized (≤6 rows) so joined can release
+    joined.unpersist()
+    out
   }
 
   /** G10 — precision-recall curve (LinkClassifier.scala:88-103): rank by
