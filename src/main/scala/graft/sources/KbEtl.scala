@@ -71,6 +71,24 @@ object KbEtl {
       ctx => regexp_replace(ctx, "\\s+", " "))
   }
 
+  /** getKBIntro (WikiMappingHelper.scala:207-216), the first-SENTENCE
+    * sibling of `firstParagraph` used by the reference's `run` job: the
+    * OpenNLP sentencer is replaced by a deterministic terminator rule (the
+    * S8 policy — no NLP runtime dependencies): the first segment ending at
+    * [.!?] followed by whitespace/end; when no terminator exists, the
+    * reference's exception fallback `text.take(100)`. Both paths collapse
+    * whitespace as the reference does. Abbreviation-aware segmentation
+    * ("Dr. Smith") is knowingly coarser than OpenNLP — documented
+    * deterministic replacement, same stance as the S8 content features.
+    */
+  def firstSentence(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val m = regexp_extract(t, "^([\\s\\S]*?[.!?])(\\s|$)", 1)
+    regexp_replace(
+      when(length(m) > 0, m).otherwise(substring(t, 1, 100)),
+      "\\s+", " ")
+  }
+
   /** The dump-scrape job: `raw` carries one row per dump file (or any chunk
     * containing whole `<entity>` blocks) in `xmlCol`. Returns one row per
     * entity header: (kbId, kbName, kbTitle, kbType, factsClass, intro).

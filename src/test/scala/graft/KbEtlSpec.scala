@@ -92,6 +92,19 @@ class KbEtlSpec extends SparkSpec {
     }
   }
 
+  test("firstSentence: terminator rule + the reference's take(100) fallback") {
+    def fs(text: String): String =
+      Seq(text).toDF("t").select(KbEtl.firstSentence($"t")).as[String].head()
+    assert(fs("First sentence here. Second sentence there.") == "First sentence here.")
+    assert(fs("Ends with bang! More text") == "Ends with bang!")
+    assert(fs("multi\nline   first? rest") == "multi line first?")
+    // no terminator anywhere: the reference's exception path takes 100 chars
+    val long = "word " * 40 // 200 chars, no terminator
+    assert(fs(long) == long.take(100).replaceAll("\\s+", " "))
+    assert(fs("short no terminator") == "short no terminator")
+    assert(fs("") == "")
+  }
+
   test("fromDump: header/text/facts regexes pair per entity across a multi-entity file") {
     val xml =
       """<entity wiki_title="Alpha_Beta" type="ORG" id="E000001" name="Alpha Beta">
