@@ -136,6 +136,51 @@ class ReferenceParitySpec extends SparkSpec {
     }
   }
 
+  test("backoffStrings matches findBackOffStrings modulo the documented divergences") {
+    // GeneralHelperMethods.findBackOffStrings:13-29, transcribed: all
+    // (start, stop) spans strictly longer than the name's word count,
+    // filtered by CASE-SENSITIVE contains — the transcription then applies
+    // the two documented divergences (case-insensitive contains, full
+    // string excluded, set semantics) to produce the expected output
+    def referenceSpans(queryName: String, fullString: String): List[String] = {
+      val originalLength = queryName.split(" ").length
+      val fullLength = fullString.split(" ").length
+      var backOffStrings = List[String]()
+      var startIndex = 0
+      while ((fullLength - startIndex) > originalLength) {
+        var stopIndex = fullLength
+        while ((stopIndex - startIndex) > originalLength) {
+          backOffStrings =
+            fullString.split(" ").slice(startIndex, stopIndex).mkString(" ") :: backOffStrings
+          stopIndex -= 1
+        }
+        startIndex += 1
+      }
+      backOffStrings
+    }
+    def expected(name: String, es: String): Set[String] =
+      referenceSpans(name, es).toSet
+        .filter(s => s.toLowerCase.contains(name.toLowerCase))
+        .filter(_ != es)
+    val rnd = new scala.util.Random(55)
+    val pool = Vector("Acme", "acme", "Corp", "Labs", "of", "Omaha", "the", "ACME")
+    def phrase(n: Int) = (0 until n).map(_ => pool(rnd.nextInt(pool.length))).mkString(" ")
+    val cases = (0 until 60).map { _ =>
+      (phrase(1 + rnd.nextInt(2)), phrase(2 + rnd.nextInt(5)))
+    }
+    val got = cases.toDF("name", "es")
+      .select($"name", $"es", Aliases.backoffStrings($"name", $"es"))
+      .as[(String, String, Seq[String])].collect()
+    got.foreach { case (name, es, spans) =>
+      assert(spans.toSet == expected(name, es),
+        s"diverged on name=[$name] es=[$es]: ${spans.toSet} vs ${expected(name, es)}")
+      // the reference's own (case-sensitive) survivors, minus the full
+      // string, must all be present — the divergences only ADD
+      val refSurvivors = referenceSpans(name, es).filter(_.contains(name)).toSet - es
+      assert(refSurvivors.subsetOf(spans.toSet))
+    }
+  }
+
   test("b3 and categoryCounts match the Benchmarker loops on random clusterings") {
     // Benchmarker.scala:39-77 (b3Correct + b3Precision/b3Recall) and
     // :92-130 (category when-chain incl. the both-NIL cluster-set
