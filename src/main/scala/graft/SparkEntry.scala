@@ -580,6 +580,30 @@ object SparkEntry {
         .select($"dupGroup", $"members",
           round(coalesce($"mj", lit(1.0)), 4).as("min_edge_jaccard"))
     }),
+    // embedding-cosine near-dup with a CLOSED-FORM oracle: 50 scaled copies
+    // (same direction => identical hyperplane signature => guaranteed
+    // candidate; cosine 1.0) are planted among the embeddings, whose max
+    // natural pairwise cosine is ~0.6 — far under the 0.95 threshold — so
+    // the expected groups are exactly {original, copy} pairs + singletons,
+    // SQL-expressible with no golden. min_edge_cos ≥ 0.95 by construction.
+    "q_embed_dedup" -> ((s, d) => {
+      import s.implicits._
+      val e = t(s, d, "embeddings")
+      val dup = e.where($"vec_id" < 50)
+        .select(($"vec_id" + 100000).as("vec_id"),
+          transform($"embedding", x => x * 1.001).as("embedding"))
+      val all = e.select($"vec_id", $"embedding").unionByName(dup)
+        .select(lpad($"vec_id".cast("string"), 7, "0").as("id"), $"embedding")
+      val r = Dedup.embeddingCosineDetailed(all, "id", "embedding", threshold = 0.95)
+      val groups = r.assignments.groupBy($"dupGroup").agg(count(lit(1)).as("members"))
+      val minC = r.edges
+        .join(r.assignments.select($"id".as("src"), $"dupGroup"), "src")
+        .groupBy($"dupGroup").agg(min($"cos").as("mc"))
+      groups.join(minC, Seq("dupGroup"), "left")
+        .select($"dupGroup", $"members",
+          round(coalesce($"mc", lit(1.0)), 4).as("min_edge_cos"))
+        .orderBy($"dupGroup")
+    }),
     // LSH ANN top-k, self-checking (scale path of q_embed_topk): per-probe
     // recall vs the exact brute-force top-k — the rows make a recall
     // collapse visible even under a rows-only check
@@ -1068,6 +1092,23 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    // closed-form reconstruction of the planted-duplicate dedup: pairs for
+    // vec_id < 50 (group = the lpad'd original id, cosine 1.0 after
+    // round 4), singletons for everything else
+    "q_embed_dedup" ->
+      """WITH base AS (
+        |  SELECT lpad(CAST(vec_id AS VARCHAR), 7, '0') AS id FROM embeddings),
+        |dups AS (
+        |  SELECT lpad(CAST(vec_id AS VARCHAR), 7, '0') AS orig
+        |  FROM embeddings WHERE vec_id < 50)
+        |SELECT dupGroup, members, min_edge_cos FROM (
+        |  SELECT orig AS dupGroup, CAST(2 AS BIGINT) AS members,
+        |         CAST(1.0 AS DOUBLE) AS min_edge_cos
+        |  FROM dups
+        |  UNION ALL
+        |  SELECT id, CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE) FROM base
+        |  WHERE id NOT IN (SELECT orig FROM dups))
+        |ORDER BY dupGroup""".stripMargin,
     // closed-form reconstruction of the synthetic dump's expected scrape:
     // the engine must recover exactly what the query embedded (the taken
     // paragraph keeps the reference's trailing-space normalization quirk)

@@ -222,7 +222,14 @@ object Dedup {
     */
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double = 0.95, planes: Int = 8,
-                      seed: Long = 42L, conf: GraftConf = GraftConf()): DataFrame = {
+                      seed: Long = 42L, conf: GraftConf = GraftConf()): DataFrame =
+    embeddingCosineDetailed(df, idCol, vecCol, threshold, planes, seed, conf)
+      .assignments
+
+  /** `embeddingCosine` plus the verified edges (src, dst, cos ≥ threshold). */
+  def embeddingCosineDetailed(df: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double = 0.95, planes: Int = 8,
+                              seed: Long = 42L, conf: GraftConf = GraftConf()): NearDups = {
     import df.sparkSession.implicits._
     // signature frame feeds four consumers (bucket keys, two vector-side
     // joins, CC nodes) — persist, same rationale as minhashLsh
@@ -235,17 +242,19 @@ object Dedup {
     val blocks = withSig.select($"id", concat(lit("h:"), $"sig").as("key"))
     val cand = Blocking.candidatePairs(blocks, conf)
     val sides = withSig.select($"id", $"v", $"norm")
-    val edges = cand
+    // verified edges cut (materialized): they feed the CC run AND the caller
+    val edges = Lineage.cut(cand
       .join(sides.select($"id".as("leftId"), $"v".as("lv"), $"norm".as("ln")), "leftId")
       .join(sides.select($"id".as("rightId"), $"v".as("rv"), $"norm".as("rn")), "rightId")
       .withColumn("cos",
         aggregate(zip_with($"lv", $"rv", (a, b) => a * b), lit(0.0), (a, x) => a + x)
           / ($"ln" * $"rn"))
       .where($"cos" >= threshold)
-      .select($"leftId".as("src"), $"rightId".as("dst"))
-    val out = Lineage.cut(ConnectedComponents.run(withSig.select($"id"), edges)
-      .withColumnRenamed("component", "dupGroup"))
+      .select($"leftId".as("src"), $"rightId".as("dst"), $"cos"))
+    val out = Lineage.cut(
+      ConnectedComponents.run(withSig.select($"id"), edges.select($"src", $"dst"))
+        .withColumnRenamed("component", "dupGroup"))
     withSig.unpersist()
-    out
+    NearDups(out, edges)
   }
 }
