@@ -91,14 +91,15 @@ object Bench {
     // would see. The headline is measured immediately after, on the clean
     // warmed JVM, before the query sweep adds heap pressure.
     val fams = familiesFor(sfDir)
-    pipelineThroughput(spark, materializedCorpus(spark, fams)) // warm-up run
+    val variants = 8 // emitted in the JSON below — keep the two in sync
+    pipelineThroughput(spark, materializedCorpus(spark, fams, variants)) // warm-up run
     spark.catalog.clearCache() // nothing cached may leak into the timed run
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
 
     // the timed reps share ONE cached corpus read — a long-running cluster
     // job reads its input table once too, and re-scanning parquet per rep
     // only adds fixed cost for external load to amplify
-    val corpus = materializedCorpus(spark, fams)
+    val corpus = materializedCorpus(spark, fams, variants)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     corpus.count() // materialize outside the timed region
 
@@ -134,7 +135,7 @@ object Bench {
     // families/variants pin the corpus config IN the artifact so rounds stay
     // comparable if the sf→families mapping ever changes (VERDICT r3 #8)
     println(
-      f"""{"metric":"scored_pairs_per_sec","value":$pairsPerSec%.1f,"unit":"pairs/sec","scored_pairs":$nPairs%d,"families":$fams%d,"variants":8,"pipeline_sec":$pipeSec%.3f,"pipeline_reps_sec":$repsJson%s,"pipeline_reps_loadavg":$loadJson%s,"total_sec":$total%.3f,"queries":$qs%s,"errors":$errs%s,"sf":"$sfDir%s","cpus":$cpus%d}""")
+      f"""{"metric":"scored_pairs_per_sec","value":$pairsPerSec%.1f,"unit":"pairs/sec","scored_pairs":$nPairs%d,"families":$fams%d,"variants":$variants%d,"pipeline_sec":$pipeSec%.3f,"pipeline_reps_sec":$repsJson%s,"pipeline_reps_loadavg":$loadJson%s,"total_sec":$total%.3f,"queries":$qs%s,"errors":$errs%s,"sf":"$sfDir%s","cpus":$cpus%d}""")
     spark.stop()
   }
 }

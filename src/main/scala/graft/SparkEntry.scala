@@ -526,7 +526,7 @@ object SparkEntry {
         concat(
           lit("<entity wiki_title=\""), regexp_replace($"p_name", " ", "_"),
           lit("\" type=\""), $"p_type",
-          lit("\" id=\"E"), lpad($"p_partkey".cast("string"), 6, "0"),
+          lit("\" id=\"E"), lpad($"p_partkey".cast("string"), 9, "0"),
           lit("\" name=\""), $"p_name", lit("\">\n"),
           lit("<facts class=\""), $"p_brand", lit("\">\n"),
           lit("<wiki_text><![CDATA[title "), $"p_name",
@@ -589,11 +589,17 @@ object SparkEntry {
     "q_embed_dedup" -> ((s, d) => {
       import s.implicits._
       val e = t(s, d, "embeddings")
+      // disjoint "a"/"b" id namespaces: originals can never collide with
+      // planted copies at ANY scale factor (an arithmetic +offset would
+      // collide once natural vec_ids reach the offset); "a" sorts below
+      // "b", so group = the original's id
+      val orig = e.select(
+        concat(lit("a"), lpad($"vec_id".cast("string"), 9, "0")).as("id"),
+        $"embedding")
       val dup = e.where($"vec_id" < 50)
-        .select(($"vec_id" + 100000).as("vec_id"),
+        .select(concat(lit("b"), lpad($"vec_id".cast("string"), 9, "0")).as("id"),
           transform($"embedding", x => x * 1.001).as("embedding"))
-      val all = e.select($"vec_id", $"embedding").unionByName(dup)
-        .select(lpad($"vec_id".cast("string"), 7, "0").as("id"), $"embedding")
+      val all = orig.unionByName(dup)
       val r = Dedup.embeddingCosineDetailed(all, "id", "embedding", threshold = 0.95)
       val groups = r.assignments.groupBy($"dupGroup").agg(count(lit(1)).as("members"))
       val minC = r.edges
@@ -777,9 +783,15 @@ object SparkEntry {
       val kbAcc =
         if (kbRow.getLong(0) == 0L) 0.0
         else kbRow.getLong(1).toDouble / kbRow.getLong(0)
-      dec
+      // cut the tiny output (one row per mention) so EVERY cached frame —
+      // the pipeline's internals and dec itself — can release before
+      // returning; without this each invocation in a long-lived JVM (bench
+      // sweep, plan audit, GoldenGen) leaks four MEMORY_AND_DISK frames
+      val out = graft.plans.Lineage.cut(dec
         .withColumn("gold_pair_f1", round(lit(f1), 4))
-        .withColumn("kb_link_acc", round(lit(kbAcc), 4))
+        .withColumn("kb_link_acc", round(lit(kbAcc), 4)))
+      Seq(res.mentions, res.scored, res.components, dec).foreach(_.unpersist())
+      out
     }),
     // B1 KB half — mention→KB candidate linking (the reference flagship,
     // RunKBPEntityLinkerSystem.scala:56-128): mentions from part names, KB =
@@ -1097,23 +1109,23 @@ object SparkEntry {
     // round 4), singletons for everything else
     "q_embed_dedup" ->
       """WITH base AS (
-        |  SELECT lpad(CAST(vec_id AS VARCHAR), 7, '0') AS id FROM embeddings),
-        |dups AS (
-        |  SELECT lpad(CAST(vec_id AS VARCHAR), 7, '0') AS orig
-        |  FROM embeddings WHERE vec_id < 50)
+        |  SELECT 'a' || lpad(CAST(vec_id AS VARCHAR), 9, '0') AS id, vec_id
+        |  FROM embeddings)
         |SELECT dupGroup, members, min_edge_cos FROM (
-        |  SELECT orig AS dupGroup, CAST(2 AS BIGINT) AS members,
+        |  SELECT id AS dupGroup, CAST(2 AS BIGINT) AS members,
         |         CAST(1.0 AS DOUBLE) AS min_edge_cos
-        |  FROM dups
+        |  FROM base WHERE vec_id < 50
         |  UNION ALL
         |  SELECT id, CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE) FROM base
-        |  WHERE id NOT IN (SELECT orig FROM dups))
+        |  WHERE vec_id >= 50)
         |ORDER BY dupGroup""".stripMargin,
     // closed-form reconstruction of the synthetic dump's expected scrape:
     // the engine must recover exactly what the query embedded (the taken
     // paragraph keeps the reference's trailing-space normalization quirk)
+    // lpad 9 (not 6): lpad TRUNCATES beyond the target length, so 6-digit
+    // padding would collide distinct partkeys at sf >= ~5
     "q_kb_etl" ->
-      """SELECT 'E' || lpad(CAST(p_partkey AS VARCHAR), 6, '0') AS kbId,
+      """SELECT 'E' || lpad(CAST(p_partkey AS VARCHAR), 9, '0') AS kbId,
         |  p_name AS kbName,
         |  replace(p_name, ' ', '_') AS kbTitle,
         |  p_type AS kbType,

@@ -174,8 +174,10 @@ object SimilaritySearch {
       // dim) fit a long — beyond that the non-ANSI sum would WRAP silently
       // and produce wrong centroids (ADVICE r3). Same fail-loudly contract
       // as the poisoning check; n is already in this pass
+      // strict: exactly 2^30 contributions at the permitted |x| = 512.0
+      // boundary (quantized 2^33) would sum to exactly ±2^63 and wrap
       val maxN = if (sums.isEmpty) 0L else sums.map(_.getLong(3)).max
-      require(maxN <= (1L << 30),
+      require(maxN < (1L << 30),
         s"IVF centroid update overflow risk: $maxN contributions on one (cid, dim) " +
           "exceed the 2^30 fixed-point headroom — raise nlist or shard the corpus")
       val dim = centroids.head.length

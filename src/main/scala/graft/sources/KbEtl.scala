@@ -26,9 +26,16 @@ object KbEtl {
   // WikiMappingHelper.scala:20 — entity header attributes, fixed order
   private val headerRe =
     """<entity wiki_title="([^"]+)" type="([^"]+)" id="([^"]+)" name="([^"]+)">"""
-  // WikiMappingHelper.scala:22 — id paired with its CDATA wiki_text
+  // WikiMappingHelper.scala:22 — id paired with its CDATA wiki_text.
+  // Deliberate divergence from the reference pattern (`id="..."[\w\W]+?
+  // <wiki_text>`): the scan must not cross an entity boundary — with the
+  // reference's lazy any-char span, an entity WITHOUT a wiki_text block
+  // silently steals the NEXT entity's text (and that entity loses its
+  // intro). The tempered span (?:(?!</entity>)[\w\W]) stops at the closing
+  // tag, so a textless entity pairs with nothing and keeps an empty intro
+  // (spec-covered with the textless entity in first position).
   private val textRe =
-    """id="([^"]+)"[\w\W]+?<wiki_text><!\[CDATA\[([\w\W]+?)\]\]></wiki_text>"""
+    """id="([^"]+)"(?:(?!</entity>)[\w\W])*?<wiki_text><!\[CDATA\[([\w\W]+?)\]\]></wiki_text>"""
   // WikiMappingHelper.scala:26 — facts class on the line after the header
   private val typeRe =
     """id="([^"]+)" name=[^>]+>\n<facts class="([^>]+?)">"""

@@ -107,7 +107,9 @@ class KbEtlSpec extends SparkSpec {
 
   test("fromDump: header/text/facts regexes pair per entity across a multi-entity file") {
     val xml =
-      """<entity wiki_title="Alpha_Beta" type="ORG" id="E000001" name="Alpha Beta">
+      """<entity wiki_title="Zero" type="GPE" id="E000000" name="Zero Entity">
+        |</entity>
+        |<entity wiki_title="Alpha_Beta" type="ORG" id="E000001" name="Alpha Beta">
         |<facts class="company">
         |<wiki_text><![CDATA[Alpha Beta title line
         |
@@ -126,13 +128,17 @@ class KbEtlSpec extends SparkSpec {
       .orderBy($"kbId")
       .as[(String, String, String, String, String, String)]
       .collect()
-    assert(got.length == 3)
-    assert(got(0) == (("E000001", "Alpha Beta", "Alpha_Beta", "ORG", "company",
+    assert(got.length == 4)
+    // a textless entity in FIRST position must NOT steal the next entity's
+    // wiki_text (the reference's lazy any-char regex does exactly that —
+    // documented divergence; the tempered span stops at </entity>)
+    assert(got(0) == (("E000000", "Zero Entity", "Zero", "GPE", null, "")))
+    assert(got(1) == (("E000001", "Alpha Beta", "Alpha_Beta", "ORG", "company",
       "Alpha Beta is an organization with more than seven words here ")))
     // entity 2 has no facts block -> null factsClass; text still pairs to ITS id
-    assert(got(1)._1 == "E000002" && got(1)._4 == "PER" && got(1)._5 == null)
-    assert(got(1)._6 == "Gamma Person appears with well over seven words in this paragraph ")
+    assert(got(2)._1 == "E000002" && got(2)._4 == "PER" && got(2)._5 == null)
+    assert(got(2)._6 == "Gamma Person appears with well over seven words in this paragraph ")
     // entity 3 has no wiki_text -> empty intro, never a dropped row
-    assert(got(2) == (("E000003", "No Text", "NoText", "GPE", null, "")))
+    assert(got(3) == (("E000003", "No Text", "NoText", "GPE", null, "")))
   }
 }
