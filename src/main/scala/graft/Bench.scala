@@ -44,7 +44,12 @@ object Bench {
     */
   def materializedCorpus(spark: SparkSession, families: Int,
                          variants: Int = 8): org.apache.spark.sql.DataFrame = {
-    val path = s"/tmp/graft_bench_corpus_f${families}_v$variants"
+    // the cache key carries a GENERATOR fingerprint (a deterministic sample
+    // of rows hashed driver-side) so an edit to SynthCorpus invalidates the
+    // on-disk corpus instead of silently benchmarking stale data
+    // (self-review r4); String/case-class hashCodes are stable across JVMs
+    val gen = f"${SynthCorpus.rows(3, 3).hashCode()}%08x"
+    val path = s"/tmp/graft_bench_corpus_f${families}_v${variants}_g$gen"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       SynthCorpus.corpus(spark, families = families, variants = variants)
         .write.mode("overwrite").parquet(path)
@@ -74,7 +79,7 @@ object Bench {
     result.decisions.count() // materialize decisions too (CC + confidence)
     val sec = (System.nanoTime() - t0) / 1e9
     result.mentions.unpersist(); result.scored.unpersist()
-    result.components.unpersist()
+    result.components.unpersist(); result.anchors.foreach(_.unpersist())
     Rep(nPairs, sec, l0, loadavg())
   }
 

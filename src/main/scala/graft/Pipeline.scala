@@ -24,7 +24,11 @@ object Pipeline {
       pairs: DataFrame,
       scored: DataFrame,
       components: DataFrame,
-      decisions: DataFrame)
+      decisions: DataFrame,
+      // exposed so callers can release the cache `run` creates for the
+      // kb-derived anchors (self-review r4: an un-exposed persisted frame
+      // is an unreleasable leak per invocation in long-lived JVMs)
+      anchors: Option[DataFrame] = None)
 
   def run(spark: SparkSession, files: DataFrame,
           aliasDict: Map[String, String],
@@ -80,7 +84,8 @@ object Pipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val decisions = Decisions.assemble(components, accepted, anchors, conf.linkThreshold)
 
-    Result(mentions, blocked.blocks, blocked.overflow, pairs, scored, components, decisions)
+    Result(mentions, blocked.blocks, blocked.overflow, pairs, scored,
+      components, decisions, anchors)
   }
 
   /** Same pipeline with per-stage checkpoint tables (blocks, scored pairs,
@@ -149,6 +154,7 @@ object Pipeline {
         scored.where($"score" > conf.linkThreshold), anchors, conf.linkThreshold)
     }
     val pairs = scored.select($"leftId", $"rightId", $"blockKey")
-    Result(mentions, blocks, overflow, pairs, scored, components, decisions)
+    Result(mentions, blocks, overflow, pairs, scored, components, decisions,
+      anchors)
   }
 }

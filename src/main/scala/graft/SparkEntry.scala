@@ -790,7 +790,8 @@ object SparkEntry {
       val out = graft.plans.Lineage.cut(dec
         .withColumn("gold_pair_f1", round(lit(f1), 4))
         .withColumn("kb_link_acc", round(lit(kbAcc), 4)))
-      Seq(res.mentions, res.scored, res.components, dec).foreach(_.unpersist())
+      (Seq(res.mentions, res.scored, res.components, dec) ++ res.anchors)
+        .foreach(_.unpersist())
       out
     }),
     // B1 KB half — mention→KB candidate linking (the reference flagship,

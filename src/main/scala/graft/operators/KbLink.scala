@@ -233,14 +233,21 @@ object KbLink {
   def backoffAnchors(mentions: DataFrame, accepted: DataFrame, kb: DataFrame,
                      w: KbWeights = KbWeights.default,
                      conf: GraftConf = GraftConf()): DataFrame = {
+    // context vectors ride along when present (self-review r4): the
+    // reference's A8 path hands getBestEntity the same coref context as the
+    // main pass, so the re-link must keep the docSimScore arbitration —
+    // dropping vecH/vecW silently zeroed the cosine feature here
+    val vecCols =
+      if (mentions.columns.contains("vecH")) Seq(col("vecH"), col("vecW"))
+      else Nil
     val eligible = mentions
       .join(accepted.select(col("id")), Seq("id"), "left_anti")
       .where(size(split(col("entityString"), "\\s+")) >=
         size(split(col("name"), "\\s+")) + 2 &&
         !col("entityString").contains(",") && !col("entityString").contains("."))
-      .select(col("id"), col("names"), col("abbrs"),
+      .select(Seq(col("id"), col("names"), col("abbrs")) ++ vecCols :+
         explode(Aliases.backoffStrings(col("name"), col("entityString")))
-          .as("entityString"))
+          .as("entityString"): _*)
 
     // link() windows per id, and eligible repeats id per back-off string, so
     // its row_number already selects the argmax over all back-off candidates;
@@ -276,13 +283,18 @@ object KbLink {
       .where(col("kbType") === fromType)
       .select(col("id"))
 
-    val zThreshold = math.log(conf.linkThreshold / (1.0 - conf.linkThreshold))
-    // re-query: candidates restricted to toType, best above threshold;
-    // rerouted links carry the reference's fixed confidence 0.7 (:139)
+    // re-query: candidates restricted to toType, accepted above threshold
+    // OR on exact title (link()'s engine-wide acceptance — the reference
+    // filters by score alone, but link()'s top-1 ranks exactTitle first, so
+    // a z-only filter here would let a below-threshold exact-title
+    // candidate SHADOW an above-threshold fuzzy one and wrongly drop the
+    // anchor; accepting on link()'s own rule keeps the policy consistent,
+    // self-review r4); rerouted links carry the reference's fixed
+    // confidence 0.7 (:139)
     val rerouted = link(
       mentions.join(toFix, Seq("id")),
       kb.where(col("kbType") === toType), w, conf)
-      .where(col("z") > lit(zThreshold))
+      .where(col("accepted"))
       .select(col("id"), col("kbId"), col("kbScore"),
         lit(0.7).as("kbConfidence"))
 

@@ -224,8 +224,12 @@ object Reports {
     import labeled.sparkSession.implicits._
     val nPos = labeled.where($"label").count()
     val pos = labeled.where($"label")
+    // clamp: nPos * ratio overflows Int past ~2^31 pairs and a wrapped
+    // negative limit throws (or silently truncates) — at the clamp the cap
+    // is a no-op anyway (limit of Int.MaxValue rows)
+    val cap = math.min(nPos * ratio, Int.MaxValue.toLong).toInt
     val neg = deterministicSample(labeled.where(!$"label"),
-      Seq("leftId", "rightId"), (nPos * ratio).toInt)
+      Seq("leftId", "rightId"), cap)
     pos.unionByName(neg)
   }
 

@@ -121,6 +121,15 @@ object SimilaritySearch {
       .orderBy(col("hk")).limit(nlist)
       .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
 
+    // degenerate-input invariant (self-review r4): an empty corpus must
+    // return empty, not NoSuchElementException at centroids.head — the
+    // brute-force path on an empty corpus yields exactly the right empty
+    // frame with the right schema
+    if (centroids.isEmpty) {
+      c.unpersist()
+      return bruteForceTopK(corpus, probes, idCol, vecCol, k)
+    }
+
     // ONE nested-array literal for the whole centroid table: per-centroid
     // `array(lit, lit, …)` expansion puts nlist×dim literal NODES in the
     // expression tree and whole-stage codegen spends seconds compiling each

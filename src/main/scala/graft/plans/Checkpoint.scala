@@ -1,8 +1,8 @@
 package graft.plans
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
 
 /** Stage checkpointing with per-partition lineage + metrics (north_rule:
   * "resumable from checkpoint with per-partition lineage + metrics rows").
@@ -24,9 +24,18 @@ final class Checkpoint(spark: SparkSession, root: String) {
 
   private def dir(stage: String, part: String) = s"$root/$stage/$part"
 
+  // Hadoop FS, not java.nio (self-review r4): the checkpoint root may be
+  // hdfs://, s3a://, or any Hadoop-resolvable path — a driver-local
+  // Files.exists probe is always false there and resume would silently
+  // never fire while the (Hadoop-FS-backed) writes keep working
+  private def exists(p: String): Boolean = {
+    val path = new Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
   def committed(stage: String, configHash: String): Boolean = {
     val p = dir(stage, "_lineage")
-    if (!Files.exists(Paths.get(p))) false
+    if (!exists(p)) false
     else
       try {
         val row = spark.read.parquet(p)
@@ -40,6 +49,16 @@ final class Checkpoint(spark: SparkSession, root: String) {
     if (committed(stage, configHash)) {
       spark.read.parquet(dir(stage, "data"))
     } else {
+      // INVALIDATE the old commit marker BEFORE overwriting data
+      // (self-review r4): a crash after the data overwrite but before the
+      // new lineage write would otherwise leave the PREVIOUS config's
+      // committed=true row pointing at the new config's (possibly partial)
+      // data — a later run under the old config would then resume from
+      // wrong data. With the marker deleted first, any crash inside this
+      // block leaves the stage "not committed" and it recomputes.
+      val lineagePath = new Path(dir(stage, "_lineage"))
+      lineagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(lineagePath, true)
       val df = compute
       df.write.mode(SaveMode.Overwrite).parquet(dir(stage, "data"))
       val data = spark.read.parquet(dir(stage, "data"))

@@ -67,18 +67,23 @@ object Sidecars {
   /** Parse the reference's namedEntities 4-line-group format
     * (CorefHelperMethods.scala:66-103): line 1 = `qId\tqType\tmatching...`,
     * lines 2-4 = `_\t_\torgs... / locs... / people...` (first two fields
-    * skipped via drop(2), qType defaults to "None" when absent).
+    * skipped via drop(2), qType defaults to "None" when absent). A trailing
+    * INCOMPLETE group (truncated file) is counted in `malformed`, never
+    * dropped silently — same Parsed convention as the other readers.
     */
   def parseNamedEntities(lines: Seq[String])
-      : Seq[(String, String, Seq[String], Seq[String], Seq[String], Seq[String])] =
-    lines.grouped(4).filter(_.size == 4).map { g =>
+      : Parsed[(String, String, Seq[String], Seq[String], Seq[String], Seq[String])] = {
+    val (full, partial) = lines.grouped(4).toSeq.partition(_.size == 4)
+    val rows = full.map { g =>
       val first = g.head.split("\t")
       val qId = first(0)
       val qType = if (first.length > 1) first(1) else "None"
       val matching = first.drop(2).toSeq
       def rest(l: String) = l.split("\t").drop(2).toSeq
       (qId, qType, matching, rest(g(1)), rest(g(2)), rest(g(3)))
-    }.toSeq
+    }
+    Parsed(rows, partial.size)
+  }
 
   /** Parsed rows plus the count of malformed lines SKIPPED (never silent:
     * the reference either throws mid-load or System.err-prints per line;

@@ -37,6 +37,14 @@ class DegenerateInputSpec extends SparkSpec {
       .select(graft.sources.KbEtl.firstParagraph($"t")).as[String].head() == "")
   }
 
+  test("ivfTopK on an empty corpus returns empty, not NoSuchElementException") {
+    val emptyVecs = Seq.empty[(String, Seq[Double])].toDF("id", "vec")
+    val probes = Seq(("p1", Seq(1.0, 0.0))).toDF("id", "vec")
+    val got = SimilaritySearch.ivfTopK(emptyVecs, probes, "id", "vec", 5)
+    assert(got.isEmpty)
+    assert(got.columns.toSeq == Seq("qid", "id", "cos", "rank"))
+  }
+
   test("categoryCounts on empty frames returns an empty count table") {
     val sys = Seq.empty[(String, String)].toDF("mentionId", "clusterId")
     val gold = Seq.empty[(String, String)].toDF("id", "gold")

@@ -67,9 +67,10 @@ class SidecarsSpec extends SparkSpec {
       "q1\tORG\tacme corp\tacme inc", // orgs (first two fields dropped)
       "q1\tLOC",                      // locs: none
       "q1\tPER\tjane doe",            // people
-      "q2"))                          // trailing partial group ignored
-    assert(ner == Seq(("q1", "ORGANIZATION", Seq("acme"),
+      "q2"))                          // trailing partial group: COUNTED
+    assert(ner.rows == Seq(("q1", "ORGANIZATION", Seq("acme"),
       Seq("acme corp", "acme inc"), Seq.empty, Seq("jane doe"))))
+    assert(ner.malformed == 1, "a truncated trailing group must be tallied, not silent")
   }
 
   test("A7 dispatcher: best-scoring coref candidate wins; no-candidate falls back to name") {
