@@ -44,13 +44,22 @@ object Bench {
     */
   def materializedCorpus(spark: SparkSession, families: Int,
                          variants: Int = 8): org.apache.spark.sql.DataFrame = {
-    // the cache key carries a GENERATOR fingerprint (a deterministic sample
-    // of rows hashed driver-side) so an edit to SynthCorpus invalidates the
-    // on-disk corpus instead of silently benchmarking stale data
-    // (self-review r4); String/case-class hashCodes are stable across JVMs
-    val gen = f"${SynthCorpus.rows(3, 3).hashCode()}%08x"
-    val path = s"/tmp/graft_bench_corpus_f${families}_v${variants}_g$gen"
+    // the cache key carries a GENERATOR fingerprint so an edit to
+    // SynthCorpus invalidates the on-disk corpus instead of silently
+    // benchmarking stale data (self-review r4). The sample spans 25
+    // families x 8 variants so every generator branch contributes (the
+    // name-suffix families >= 20, the v%4 fork-org variant, all langs);
+    // String/case-class hashCodes are stable across JVMs. The distributed
+    // corpus() wrapper itself is row()-delegating, so rows() covers it.
+    val gen = f"${SynthCorpus.rows(25, 8).hashCode()}%08x"
+    val base = s"graft_bench_corpus_f${families}_v${variants}"
+    val path = s"/tmp/${base}_g$gen"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      // remove superseded generations of the same config first — otherwise
+      // every generator edit orphans a corpus-sized directory in /tmp
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(base + "_g") && f.getName != s"${base}_g$gen")
+        .foreach(f => new scala.reflect.io.Directory(f).deleteRecursively())
       SynthCorpus.corpus(spark, families = families, variants = variants)
         .write.mode("overwrite").parquet(path)
     }

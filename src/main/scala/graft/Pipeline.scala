@@ -25,9 +25,11 @@ object Pipeline {
       scored: DataFrame,
       components: DataFrame,
       decisions: DataFrame,
-      // exposed so callers can release the cache `run` creates for the
-      // kb-derived anchors (self-review r4: an un-exposed persisted frame
-      // is an unreleasable leak per invocation in long-lived JVMs)
+      // ONLY the anchors cache that `run` itself creates (kb-derived path),
+      // exposed so callers can release it (self-review r4: an un-exposed
+      // persisted frame is an unreleasable leak per invocation). None when
+      // the caller passed kbAnchors directly — releasing a caller-owned
+      // frame behind their back would be worse than the leak.
       anchors: Option[DataFrame] = None)
 
   def run(spark: SparkSession, files: DataFrame,
@@ -59,12 +61,15 @@ object Pipeline {
     // Decisions.assemble consumes the frame twice (incident-score union and
     // the component-anchor join), and the KbLink subplan (candidate join +
     // per-mention window) is not free to rerun.
-    val anchors = kbAnchors.orElse(kb.map { k =>
-      val kbVec =
-        if (k.columns.contains("intro")) KbLink.introVectors(k, "intro") else k
-      KbLink.anchors(mentions, kbVec, kbWeights, conf)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    val ownAnchors =
+      if (kbAnchors.isDefined) None
+      else kb.map { k =>
+        val kbVec =
+          if (k.columns.contains("intro")) KbLink.introVectors(k, "intro") else k
+        KbLink.anchors(mentions, kbVec, kbWeights, conf)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    val anchors = kbAnchors.orElse(ownAnchors)
 
     val blocked = Blocking(mentions, conf)
     val rawPairs = Blocking.candidatePairs(blocked.blocks, conf)
@@ -85,7 +90,7 @@ object Pipeline {
     val decisions = Decisions.assemble(components, accepted, anchors, conf.linkThreshold)
 
     Result(mentions, blocked.blocks, blocked.overflow, pairs, scored,
-      components, decisions, anchors)
+      components, decisions, ownAnchors)
   }
 
   /** Same pipeline with per-stage checkpoint tables (blocks, scored pairs,
@@ -154,7 +159,8 @@ object Pipeline {
         scored.where($"score" > conf.linkThreshold), anchors, conf.linkThreshold)
     }
     val pairs = scored.select($"leftId", $"rightId", $"blockKey")
-    Result(mentions, blocks, overflow, pairs, scored, components, decisions,
-      anchors)
+    // checkpointed stages are table-backed, not persisted — nothing to
+    // release, so Result.anchors stays None by its own contract
+    Result(mentions, blocks, overflow, pairs, scored, components, decisions)
   }
 }

@@ -159,16 +159,20 @@ object Dedup {
                    blockCol: String, n: Int = 2, threshold: Double = 0.5,
                    conf: GraftConf = GraftConf()): PairsResult = {
     import df.sparkSession.implicits._
-    // the tokenize+shingle+sort frame feeds THREE consumers (block sizes +
-    // both verification join sides) — cut (materialize) it or the dominant
-    // row-local cost runs once per consumer, same rationale as the persist
-    // in minhashLsh/simhash (a lineage cut here instead of persist: this
-    // API returns lazy frames, so there is no safe unpersist point)
-    val toks = Lineage.cut(df.select(
+    // KNOWN two-pass trade: the tokenize+shingle frame feeds both
+    // verification join sides, so the row-local shingling runs twice per
+    // call. The siblings (minhashLsh/simhash) persist because they control
+    // a release point (they cut their small outputs, then unpersist); this
+    // API returns LAZY frames with no safe unpersist point, a persist here
+    // would pin an unreleasable corpus-sized cache per call, and a reliable
+    // lineage cut would fill the checkpoint dir with corpus-sized rounds
+    // (both reviewed and rejected). Callers on hot paths can persist their
+    // input or pre-shingle once themselves.
+    val toks = df.select(
       col(idCol).cast("string").as("id"), col(blockCol).as("key"),
       filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0).as("tokens"))
       .withColumn("grams", // sorted once per row -> per-pair merge intersect
-        sort_array(array_distinct(Mentions.shingleHashes($"tokens", n)))))
+        sort_array(array_distinct(Mentions.shingleHashes($"tokens", n))))
 
     val blocks = toks.select($"key", $"id")
     val sizes = blocks.groupBy($"key").agg(count(lit(1)).as("blockSize"))

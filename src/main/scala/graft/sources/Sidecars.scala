@@ -82,7 +82,8 @@ object Sidecars {
       def rest(l: String) = l.split("\t").drop(2).toSeq
       (qId, qType, matching, rest(g(1)), rest(g(2)), rest(g(3)))
     }
-    Parsed(rows, partial.size)
+    // LINE count, matching the Parsed contract and the sibling parsers
+    Parsed(rows, partial.map(_.size).sum)
   }
 
   /** Parsed rows plus the count of malformed lines SKIPPED (never silent:
