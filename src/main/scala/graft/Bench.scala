@@ -41,6 +41,12 @@ object Bench {
     * the timed pipeline reads a real on-disk input table — generation cost
     * stays out of the scored-pairs/sec headline, as it would on a cluster
     * reading the repo-file table.
+    *
+    * The cache lives under the repo's own `target/bench-corpus` (gitignored,
+    * wiped by `sbt clean`), NOT world-writable /tmp: a pre-planted symlink
+    * with a matching name in /tmp could redirect the stale-generation
+    * cleanup below at whatever the bench user can delete (ADVICE r4). The
+    * cleanup additionally refuses to traverse symlinks at all.
     */
   def materializedCorpus(spark: SparkSession, families: Int,
                          variants: Int = 8): org.apache.spark.sql.DataFrame = {
@@ -52,18 +58,40 @@ object Bench {
     // String/case-class hashCodes are stable across JVMs. The distributed
     // corpus() wrapper itself is row()-delegating, so rows() covers it.
     val gen = f"${SynthCorpus.rows(25, 8).hashCode()}%08x"
-    val base = s"graft_bench_corpus_f${families}_v${variants}"
-    val path = s"/tmp/${base}_g$gen"
+    val base = s"corpus_f${families}_v${variants}"
+    val cacheRoot = new java.io.File("target/bench-corpus").getAbsoluteFile
+    val path = new java.io.File(cacheRoot, s"${base}_g$gen").getPath
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       // remove superseded generations of the same config first — otherwise
-      // every generator edit orphans a corpus-sized directory in /tmp
-      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+      // every generator edit orphans a corpus-sized directory in the cache
+      Option(cacheRoot.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith(base + "_g") && f.getName != s"${base}_g$gen")
-        .foreach(f => new scala.reflect.io.Directory(f).deleteRecursively())
+        .foreach(deleteRecursivelyNoFollow)
       SynthCorpus.corpus(spark, families = families, variants = variants)
         .write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(path)
+  }
+
+  /** Recursive delete that never follows symlinks (ADVICE r4: Directory
+    * .deleteRecursively resolves links via File.isDirectory, so a planted
+    * symlink inside the cache could aim the cleanup outside it). A symlink —
+    * top-level or nested — is unlinked, never traversed: walkFileTree
+    * without FOLLOW_LINKS reports a symlink-to-dir as a FILE visit.
+    */
+  private[graft] def deleteRecursivelyNoFollow(root: java.io.File): Unit = {
+    import java.nio.file.{Files, FileVisitResult, Path, SimpleFileVisitor}
+    import java.nio.file.attribute.BasicFileAttributes
+    if (!Files.exists(root.toPath, java.nio.file.LinkOption.NOFOLLOW_LINKS)) return
+    Files.walkFileTree(root.toPath, new SimpleFileVisitor[Path] {
+      override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
+        Files.deleteIfExists(f); FileVisitResult.CONTINUE
+      }
+      override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
+        if (e != null) throw e
+        Files.deleteIfExists(d); FileVisitResult.CONTINUE
+      }
+    })
   }
 
   /** 1-minute load average of the host, read before/after every timed rep —

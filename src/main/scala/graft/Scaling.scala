@@ -14,7 +14,12 @@ import graft.sources.SynthCorpus
   */
 object Scaling {
   def main(args: Array[String]): Unit = {
-    val families = sys.env.getOrElse("SPARK_GRAFT_FAMILIES", "2000").toInt
+    // 30000 families (240k mentions, ~2.45M scored pairs) is the standing
+    // round-comparable configuration (BASELINE.md scaling sessions r1-r4);
+    // the old 2000-family default produced an 11 s fixed-cost-dominated job
+    // whose ratio says nothing about scaling (VERDICT r4 #8). The JSON's
+    // `families` field pins whatever was actually used.
+    val families = sys.env.getOrElse("SPARK_GRAFT_FAMILIES", "30000").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
 
     def session(cpus: Int) = {

@@ -550,14 +550,29 @@ object SparkEntry {
         .select($"c_custkey", $"c_mktsegment")
         .orderBy($"c_custkey")
     }),
-    // ---- non-SQL-expressible ops (golden-parquet oracles)
-    // simhash fingerprints + near-dup groups over documents. Each group
-    // carries max_edge_hamming — ≤ 3 BY CONSTRUCTION (every verified edge
-    // passed the threshold), so the column is independently checkable
-    // without the golden (VERDICT r3 #2b); 0 for singleton groups
+    // simhash near-dup with a CLOSED-FORM oracle (q_embed_dedup pattern,
+    // VERDICT r4 #1 — golden RETIRED): every document gets 36 tokens unique
+    // to it, and each doc_id < 50 is planted an UPPER-cased copy under the
+    // disjoint "b" id namespace. The copy lowercases to the identical token
+    // sequence => identical 64-bit simhash => hamming 0 => all four 16-bit
+    // chunks collide => candidacy GUARANTEED (not probabilistic). Distinct
+    // docs have disjoint token sets, so their signatures are independent
+    // xxhash64 sign-sums — P(hamming <= 3) per pair ~ 2.4e-15, and a freak
+    // chunk collision is still rejected by the hamming verification. The
+    // expected groups are exactly {original, copy} pairs + singletons — a
+    // SQL closed form. max_edge_hamming = 0 BY CONSTRUCTION on every group.
     "q_simhash_dedup" -> ((s, d) => {
       import s.implicits._
-      val r = Dedup.simhashDetailed(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+      val docs = t(s, d, "documents").select($"doc_id")
+      val text = concat_ws(" ", transform(sequence(lit(0), lit(35)),
+        j => concat(lit("s"), $"doc_id".cast("string"), lit("x"), j.cast("string"))))
+      val orig = docs.select(
+        concat(lit("a"), lpad($"doc_id".cast("string"), 9, "0")).as("id"),
+        text.as("text"))
+      val dup = docs.where($"doc_id" < 50).select(
+        concat(lit("b"), lpad($"doc_id".cast("string"), 9, "0")).as("id"),
+        upper(text).as("text"))
+      val r = Dedup.simhashDetailed(orig.unionByName(dup), "id", "text", maxHamming = 3)
       val groups = r.assignments.groupBy($"dupGroup").agg(count(lit(1)).as("members"))
       val maxH = r.edges
         .join(r.assignments.select($"id".as("src"), $"dupGroup"), "src")
@@ -565,13 +580,26 @@ object SparkEntry {
       groups.join(maxH, Seq("dupGroup"), "left")
         .select($"dupGroup", $"members",
           coalesce($"mh", lit(0)).cast("long").as("max_edge_hamming"))
+        .orderBy($"dupGroup")
     }),
-    // minhash-LSH near-dup groups (dedup op #2), with the analogous
-    // invariant column: min verified edge Jaccard ≥ 0.7 by construction
-    // (1.0 for singleton groups)
+    // minhash-LSH near-dup, same planted construction (VERDICT r4 #1 —
+    // golden RETIRED): identical token sequence => identical shingle set =>
+    // ALL minhash bands equal => the {original, copy} pair is a guaranteed
+    // candidate with verified Jaccard exactly 1.0, while distinct docs share
+    // zero shingles (Jaccard 0 — a freak band collision is rejected by
+    // verification). min_edge_jaccard >= 0.7 by construction (exactly 1.0).
     "q_minhash_dedup" -> ((s, d) => {
       import s.implicits._
-      val r = Dedup.minhashLshDetailed(t(s, d, "documents"), "doc_id", "text")
+      val docs = t(s, d, "documents").select($"doc_id")
+      val text = concat_ws(" ", transform(sequence(lit(0), lit(35)),
+        j => concat(lit("w"), $"doc_id".cast("string"), lit("x"), j.cast("string"))))
+      val orig = docs.select(
+        concat(lit("a"), lpad($"doc_id".cast("string"), 9, "0")).as("id"),
+        text.as("text"))
+      val dup = docs.where($"doc_id" < 50).select(
+        concat(lit("b"), lpad($"doc_id".cast("string"), 9, "0")).as("id"),
+        upper(text).as("text"))
+      val r = Dedup.minhashLshDetailed(orig.unionByName(dup), "id", "text")
       val groups = r.assignments.groupBy($"dupGroup").agg(count(lit(1)).as("members"))
       val minJ = r.edges
         .join(r.assignments.select($"id".as("src"), $"dupGroup"), "src")
@@ -579,6 +607,65 @@ object SparkEntry {
       groups.join(minJ, Seq("dupGroup"), "left")
         .select($"dupGroup", $"members",
           round(coalesce($"mj", lit(1.0)), 4).as("min_edge_jaccard"))
+        .orderBy($"dupGroup")
+    }),
+    // skew-stress near-dup (VERDICT r4 #2, the "Smith" regime): every
+    // doc_id % 5 == 0 — 20% of the corpus — shares ONE identical text, so
+    // all 16 of its minhash bands collide into hot blocks whose pair volume
+    // is O((N/5)²); the rest are unique-token singletons. Pair generation
+    // MUST route through the salted candidatePairs path or the hot block's
+    // expansion lands in a single shuffle key. n_edges = C(members, 2)
+    // asserts EXACT pair completeness under salting+capping at full volume
+    // (499,500 verified pairs at sf0.1); the oracle is a SQL closed form.
+    // BENCH pairs this query with q_skew_uniform (same pair volume, no hot
+    // key) — the wall ratio is the skew-resilience evidence.
+    "q_skew_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select($"doc_id")
+      val hotText = (0 until 40).map(j => s"smith${j}z").mkString(" ")
+      val text = when($"doc_id" % 5 === 0, lit(hotText))
+        .otherwise(concat_ws(" ", transform(sequence(lit(0), lit(39)),
+          j => concat(lit("u"), $"doc_id".cast("string"), lit("x"), j.cast("string")))))
+      val corpus = docs.select(
+        concat(lit("a"), lpad($"doc_id".cast("string"), 9, "0")).as("id"),
+        text.as("text"))
+      val r = Dedup.minhashLshDetailed(corpus, "id", "text")
+      val groups = r.assignments.groupBy($"dupGroup").agg(count(lit(1)).as("members"))
+      val es = r.edges
+        .join(r.assignments.select($"id".as("src"), $"dupGroup"), "src")
+        .groupBy($"dupGroup")
+        .agg(count(lit(1)).as("ne"), min($"jaccard").as("mj"))
+      groups.join(es, Seq("dupGroup"), "left")
+        .select($"dupGroup", $"members",
+          coalesce($"ne", lit(0L)).as("n_edges"),
+          round(coalesce($"mj", lit(1.0)), 4).as("min_edge_jaccard"))
+        .orderBy($"dupGroup")
+    }),
+    // uniform control for q_skew_dedup: the SAME asymptotic verified-pair
+    // volume (25 equal families of N/25 => 25·C(N/25,2) ≈ C(N/5,2) pairs)
+    // with no hot key — at sf0.1 that is 497,500 vs the skewed 499,500.
+    // The BENCH wall ratio skew/uniform quantifies what the hot block costs
+    // after salting (target: within ~2x).
+    "q_skew_uniform" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select($"doc_id")
+      val fam = ($"doc_id" % 25).cast("string")
+      val text = concat_ws(" ", transform(sequence(lit(0), lit(39)),
+        j => concat(lit("f"), fam, lit("x"), j.cast("string"))))
+      val corpus = docs.select(
+        concat(lit("a"), lpad($"doc_id".cast("string"), 9, "0")).as("id"),
+        text.as("text"))
+      val r = Dedup.minhashLshDetailed(corpus, "id", "text")
+      val groups = r.assignments.groupBy($"dupGroup").agg(count(lit(1)).as("members"))
+      val es = r.edges
+        .join(r.assignments.select($"id".as("src"), $"dupGroup"), "src")
+        .groupBy($"dupGroup")
+        .agg(count(lit(1)).as("ne"), min($"jaccard").as("mj"))
+      groups.join(es, Seq("dupGroup"), "left")
+        .select($"dupGroup", $"members",
+          coalesce($"ne", lit(0L)).as("n_edges"),
+          round(coalesce($"mj", lit(1.0)), 4).as("min_edge_jaccard"))
+        .orderBy($"dupGroup")
     }),
     // embedding-cosine near-dup with a CLOSED-FORM oracle: 50 scaled copies
     // (same direction => identical hyperplane signature => guaranteed
@@ -757,20 +844,40 @@ object SparkEntry {
     // full pipeline on the synthetic corpus (smoke within queries), with the
     // KB stage AND both F10 extraction side tables on: decisions carry real
     // E* ids for anchored families, and scored pairs carry linkSim + argSim
-    // end-to-end. The spec gates are surfaced IN the artifact (VERDICT r3
-    // #2c) as constant columns: gold_pair_f1 (pairwise F1 vs the synthetic
-    // GOLD clusters, ≥ 0.99 by the PipelineSpec gate) and kb_link_acc
-    // (E*-decision accuracy vs the gold mention→entity map, ≥ 0.97) — both
-    // independently checkable without the golden parquet
+    // end-to-end. SINGLE-ACTION by design (VERDICT r4 #3): the two
+    // acceptance-gate scalars that doubled this query's sweep cost in r4
+    // now live in their own 1-row `q_pipeline_gates` query with a
+    // closed-form SQL oracle — the golden here pins decision DRIFT, the
+    // gates query independently proves decision QUALITY.
     "q_pipeline_decisions" -> ((s, _) => {
       import s.implicits._
       val res = Pipeline.run(s, SynthCorpus.corpus(s), SynthCorpus.aliasDict,
         kb = Some(SynthCorpus.kb(s)),
         extractions = Some(SynthCorpus.extractions(s)),
         argExtractions = Some(SynthCorpus.argExtractions(s)))
-      // decisions is tiny (one row per mention) but derived from the whole
-      // plan — persist it across the three consumers below; pairs come off
-      // the PERSISTED scored frame (same pair set, no blocking recompute)
+      // cut the tiny output (one row per mention) so EVERY cached frame the
+      // pipeline created can release before returning; without this each
+      // invocation in a long-lived JVM (bench sweep, plan audit, GoldenGen)
+      // leaks four MEMORY_AND_DISK frames
+      val out = graft.plans.Lineage.cut(res.decisions)
+      (Seq(res.mentions, res.scored, res.components) ++ res.anchors)
+        .foreach(_.unpersist())
+      out
+    }),
+    // the PipelineSpec acceptance gates as a 1-row artifact with a
+    // CLOSED-FORM oracle (VERDICT r3 #2c, restructured per r4 #3):
+    // gold_pair_f1 = pairwise F1 of the scored-pair decisions vs the
+    // synthetic GOLD clusters, kb_link_acc = E*-decision accuracy vs the
+    // gold mention→entity map — the synthetic corpus is constructed so both
+    // close at exactly 1.0. Both scalars come off the PERSISTED scored
+    // frame (same pair set as the decisions query, no blocking recompute).
+    "q_pipeline_gates" -> ((s, _) => {
+      import s.implicits._
+      val res = Pipeline.run(s, SynthCorpus.corpus(s), SynthCorpus.aliasDict,
+        kb = Some(SynthCorpus.kb(s)),
+        extractions = Some(SynthCorpus.extractions(s)),
+        argExtractions = Some(SynthCorpus.argExtractions(s)))
+      // decisions feeds both gate aggregations — persist across the two
       val dec = res.decisions
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val f1 = Evaluation.pairwiseF1(res.scored.select($"leftId", $"rightId"),
@@ -783,16 +890,10 @@ object SparkEntry {
       val kbAcc =
         if (kbRow.getLong(0) == 0L) 0.0
         else kbRow.getLong(1).toDouble / kbRow.getLong(0)
-      // cut the tiny output (one row per mention) so EVERY cached frame —
-      // the pipeline's internals and dec itself — can release before
-      // returning; without this each invocation in a long-lived JVM (bench
-      // sweep, plan audit, GoldenGen) leaks four MEMORY_AND_DISK frames
-      val out = graft.plans.Lineage.cut(dec
-        .withColumn("gold_pair_f1", round(lit(f1), 4))
-        .withColumn("kb_link_acc", round(lit(kbAcc), 4)))
       (Seq(res.mentions, res.scored, res.components, dec) ++ res.anchors)
         .foreach(_.unpersist())
-      out
+      s.range(1).select(round(lit(f1), 4).as("gold_pair_f1"),
+        round(lit(kbAcc), 4).as("kb_link_acc"))
     }),
     // B1 KB half — mention→KB candidate linking (the reference flagship,
     // RunKBPEntityLinkerSystem.scala:56-128): mentions from part names, KB =
@@ -1272,18 +1373,29 @@ object SparkEntry {
         |     p_type || ' ' || p_name] AS cands
         |  FROM part),
         |c AS (SELECT p_partkey, name, unnest(cands) AS cand FROM base),
-        |f AS (SELECT p_partkey, name, cand,
-        |    regexp_matches(name, '^[A-Z0-9]{2,5}$') AS isacr,
-        |    upper(array_to_string(list_transform(list_filter(
-        |      string_split(cand, ' '), w -> regexp_matches(w, '^[A-Z]')),
-        |      w -> w[1]), '')) = upper(name) AS acr_ok,
-        |    (starts_with(lower(cand), lower(name))
-        |       OR ends_with(lower(cand), lower(name)))
-        |      AND len(string_split(cand, ' ')) < 4
-        |      AND length(cand) > length(name) AS ext_ok
+        |w AS (SELECT p_partkey, name, cand,
+        |    string_split(cand, ' ') AS ws,
+        |    list_filter(string_split(cand, ' '),
+        |      x -> regexp_matches(x, '^[A-Z]')) AS caps,
+        |    length(name) AS al,
+        |    len(string_split(name, ' ')) AS onw
         |  FROM c),
+        |a AS (SELECT *, caps[greatest(len(caps) - al + 1, 1):] AS tail FROM w),
+        |f AS (SELECT p_partkey, name, cand, ws, onw,
+        |    regexp_matches(name, '^[A-Z0-9]{2,5}$') AS isacr,
+        |    len(caps) >= al AND array_to_string(
+        |      list_transform(tail, x -> x[1]), '') = name AS acr_ok,
+        |    CASE WHEN len(caps) >= al AND array_to_string(
+        |           list_transform(tail, x -> x[1]), '') = name
+        |      THEN array_to_string(ws[list_position(ws, tail[1]):], ' ')
+        |      ELSE NULL END AS acr_exp,
+        |    len(ws) > onw AND len(ws) < 4 AND
+        |      (lower(array_to_string(ws[1:onw], ' ')) = lower(name)
+        |       OR lower(array_to_string(ws[len(ws)-onw+1:], ' ')) = lower(name))
+        |      AS ext_ok
+        |  FROM a),
         |pick AS (SELECT p_partkey, any_value(name) AS name,
-        |    (array_agg(cand ORDER BY length(cand), cand)
+        |    (array_agg(acr_exp ORDER BY length(acr_exp), acr_exp)
         |       FILTER (WHERE isacr AND acr_ok))[1] AS acr_pick,
         |    (array_agg(cand ORDER BY length(cand), cand)
         |       FILTER (WHERE ext_ok))[1] AS ext_pick
@@ -1373,8 +1485,8 @@ object SparkEntry {
         |  CAST(CASE WHEN c.c_custkey % 2 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_people
         |FROM customer c ORDER BY c.c_custkey""".stripMargin,
     // Golden-parquet oracles (VERDICT r2 #4): these operators are not
-    // SQL-expressible (minhash permutations / simhash bit math / winnowing /
-    // LSH tables / Lloyd iterations / the full pipeline), but their inputs
+    // SQL-expressible (minhash band values / LSH tables / Lloyd iterations /
+    // the full pipeline), but their inputs
     // are SEEDED (driver's read-only sf0.01 tables or the seeded synthetic
     // corpus) and every aggregation on the path is order-exact (max / min /
     // count / integer sums — no double-sum ulp drift), so the correct
@@ -1382,8 +1494,57 @@ object SparkEntry {
     // before committing. Goldens live under src/test/resources/golden
     // (regenerate: sbt "Test/runMain graft.GoldenGen") and are compared by
     // DuckDB like any other oracle.
-    "q_minhash_dedup" -> goldenSql("q_minhash_dedup"),
-    "q_simhash_dedup" -> goldenSql("q_simhash_dedup"),
+    // closed-form planted-duplicate oracles (VERDICT r4 #1, q_embed_dedup
+    // pattern): candidacy of every planted pair is GUARANTEED by identical
+    // token sequences, natural similarity is zero by disjoint vocabularies,
+    // so the expected groups are a pure function of the doc_id column
+    "q_minhash_dedup" ->
+      """WITH base AS (
+        |  SELECT 'a' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS id, doc_id
+        |  FROM documents)
+        |SELECT dupGroup, members, min_edge_jaccard FROM (
+        |  SELECT id AS dupGroup, CAST(2 AS BIGINT) AS members,
+        |         CAST(1.0 AS DOUBLE) AS min_edge_jaccard
+        |  FROM base WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT id, CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE) FROM base
+        |  WHERE doc_id >= 50)
+        |ORDER BY dupGroup""".stripMargin,
+    "q_simhash_dedup" ->
+      """WITH base AS (
+        |  SELECT 'a' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS id, doc_id
+        |  FROM documents)
+        |SELECT dupGroup, members, max_edge_hamming FROM (
+        |  SELECT id AS dupGroup, CAST(2 AS BIGINT) AS members,
+        |         CAST(0 AS BIGINT) AS max_edge_hamming
+        |  FROM base WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT id, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM base
+        |  WHERE doc_id >= 50)
+        |ORDER BY dupGroup""".stripMargin,
+    // skew-stress closed forms: the hot family is everyone with
+    // doc_id % 5 = 0 merged into one group rooted at the min such id, with
+    // ALL C(m,2) pairs verified; the uniform control groups by doc_id % 25
+    "q_skew_dedup" ->
+      """WITH hot AS (
+        |  SELECT count(*) AS m, min(doc_id) AS mn FROM documents
+        |  WHERE doc_id % 5 = 0)
+        |SELECT 'a' || lpad(CAST(mn AS VARCHAR), 9, '0') AS dupGroup,
+        |       CAST(m AS BIGINT) AS members,
+        |       CAST(m * (m - 1) // 2 AS BIGINT) AS n_edges,
+        |       CAST(1.0 AS DOUBLE) AS min_edge_jaccard
+        |FROM hot
+        |UNION ALL
+        |SELECT 'a' || lpad(CAST(doc_id AS VARCHAR), 9, '0'),
+        |       CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
+        |FROM documents WHERE doc_id % 5 <> 0
+        |ORDER BY dupGroup""".stripMargin,
+    "q_skew_uniform" ->
+      """SELECT 'a' || lpad(CAST(min(doc_id) AS VARCHAR), 9, '0') AS dupGroup,
+        |       CAST(count(*) AS BIGINT) AS members,
+        |       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_edges,
+        |       CAST(1.0 AS DOUBLE) AS min_edge_jaccard
+        |FROM documents GROUP BY doc_id % 25 ORDER BY dupGroup""".stripMargin,
     "q_minhash_blocks" -> goldenSql("q_minhash_blocks"),
     // q_text_analysis left the golden set in r4 (VERDICT r3 #2a): every
     // output column is SQL-expressible — langId mirrors the q_langid chain,
@@ -1430,6 +1591,12 @@ object SparkEntry {
     "q_lsh_topk" -> goldenSql("q_lsh_topk"),
     "q_multimodal_features" -> goldenSql("q_multimodal_features"),
     "q_pipeline_decisions" -> goldenSql("q_pipeline_decisions"),
+    // the gates close at exactly 1.0 by the synthetic corpus's construction
+    // (PipelineSpec asserts the same thresholds); a pipeline regression
+    // surfaces here as a hash mismatch against these literals
+    "q_pipeline_gates" ->
+      """SELECT CAST(1.0 AS DOUBLE) AS gold_pair_f1,
+        |       CAST(1.0 AS DOUBLE) AS kb_link_acc""".stripMargin,
     "q_ivf_topk" -> goldenSql("q_ivf_topk")
   )
 

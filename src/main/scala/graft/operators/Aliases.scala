@@ -40,6 +40,9 @@ object Aliases {
 
   /** A2 (acronym part) — does `candidate`'s capitalized-word initialism
     * spell `acronym`? (CorefHelperMethods.scala:262-361 acronym rule.)
+    * The SIMPLE membership form (all capitalized words must spell the
+    * acronym); `acronymExpansion` below carries the reference's full
+    * takeRight + trim semantics and is what `bestExpansion` uses.
     */
   def initialsSpell(candidate: Column, acronym: Column): Column = {
     val caps = filter(split(candidate, "\\s+"), w => w.rlike("^[A-Z]"))
@@ -47,22 +50,61 @@ object Aliases {
     initials === upper(acronym)
   }
 
+  /** A2 acronym rule, full reference semantics (CorefHelperMethods.scala:
+    * 273-295, pinned by randomized parity in ReferenceParitySpec): take the
+    * LAST `length(acronym)` capitalized words of the candidate (extra
+    * leading capitalized words are allowed — the r4 form required the WHOLE
+    * candidate's initials to spell the acronym and wrongly rejected "The
+    * National Basketball Association" for NBA); their first characters must
+    * spell the acronym in order (case-sensitive, `words(i)(0) ==
+    * originalString(i)`). On a match the reference returns the candidate's
+    * word SUFFIX starting at the first word equal to the matching tail's
+    * head — including the quirk that an identical word EARLIER in the
+    * candidate starts the slice there. Returns NULL on no match.
+    * Non-crashing domain: the reference indexes `word(0)` and so dies on
+    * empty words (double spaces); `\\s+` tokenization makes those
+    * unreachable here.
+    */
+  def acronymExpansion(candidate: Column, acronym: Column): Column = {
+    val words = split(candidate, "\\s+")
+    val caps = filter(words, w => w.rlike("^[A-Z]"))
+    val acrLen = length(acronym)
+    val tail = slice(caps, greatest(size(caps) - acrLen + 1, lit(1)), acrLen)
+    val initials = array_join(transform(tail, w => substring(w, 1, 1)), "")
+    val good = size(caps) >= acrLen && initials === acronym
+    val pos = array_position(words, element_at(tail, 1)).cast("int")
+    when(good, array_join(slice(words, pos, size(words) - pos + 1), " "))
+      .otherwise(lit(null).cast("string"))
+  }
+
   /** A2/A4 — pick the best expansion from a candidates array:
-    * 1. a candidate whose initials spell the (all-caps, short) name;
-    * 2. a candidate that starts or ends with the name and has < 4 words
-    *    (person-style extension, CorefHelperMethods.scala:510-535);
+    * 1. for an (all-caps-or-digit, 2-5 char) name: the `acronymExpansion`
+    *    of a matching candidate (reference takeRight + trim semantics);
+    * 2. a candidate of < 4 words whose FIRST or LAST `words(name)` words
+    *    equal the name (person-style extension, CorefHelperMethods.scala:
+    *    510-521 — word-boundary take/takeRight equality, NOT a string
+    *    prefix: the r4 form admitted "Smithson Jones" for "Smith");
     * 3. fall back to the name itself.
-    * Shortest winner per rule (reference picks shortest, `:158`).
+    * Documented divergences (both pinned in ReferenceParitySpec): winners
+    * are picked shortest-first (`:158`) where the reference iterates in
+    * proximity order — `bestExpansion` has no document offset; and the A4
+    * word equality is case-insensitive, consistent with `backoffStrings`'
+    * rationale (a cased surface must not silently drop every expansion).
     */
   def bestExpansion(name: Column, candidates: Column): Column = {
     val isAcr = name.rlike("^[A-Z0-9]{2,5}$")
-    val acrMatches = filter(candidates, c => initialsSpell(c, name))
-    val extMatches = filter(candidates, c =>
-      (startswith(lower(c), lower(name)) || endswith(lower(c), lower(name))) &&
-        size(split(c, "\\s+")) < 4 && length(c) > length(name))
+    val acrExpansions = filter(
+      transform(candidates, c => acronymExpansion(c, name)), e => e.isNotNull)
+    val extMatches = filter(candidates, c => {
+      val w = split(c, "\\s+")
+      val on = size(split(name, "\\s+"))
+      size(w) > on && size(w) < 4 &&
+        (lower(array_join(slice(w, lit(1), on), " ")) === lower(name) ||
+          lower(array_join(slice(w, size(w) - on + 1, on), " ")) === lower(name))
+    })
     val shortest = (arr: Column) => array_min(transform(arr,
       c => struct(length(c).as("l"), c.as("c")))).getField("c")
-    when(isAcr && size(acrMatches) > 0, shortest(acrMatches))
+    when(isAcr && size(acrExpansions) > 0, shortest(acrExpansions))
       .when(size(extMatches) > 0, shortest(extMatches))
       .otherwise(name)
   }

@@ -51,11 +51,27 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  conf: GraftConf = GraftConf(), threshold: Double = 0.7): DataFrame =
-    minhashLshDetailed(df, idCol, textCol, conf, threshold).assignments
+    minhashCore(df, idCol, textCol, conf, threshold, cutEdges = false).assignments
 
-  /** `minhashLsh` plus the verified edges (src, dst, jaccard ≥ threshold). */
+  /** `minhashLsh` plus the verified edges (src, dst, jaccard ≥ threshold).
+    *
+    * Footprint note (ADVICE r4): the Detailed variants reliably CUT the
+    * edge frame (it feeds both the CC run and the caller, after the
+    * signature cache is released), so with a checkpoint dir configured each
+    * Detailed call leaves one edge-sized checkpoint round behind for the
+    * session's lifetime (Spark's cleaner does not collect reliable
+    * checkpoints by default). The plain variants skip that cut entirely —
+    * their edges feed only the CC run, which materializes them once through
+    * its own rotating (self-cleaning) cuts — so plain callers pay no
+    * per-call checkpoint growth.
+    */
   def minhashLshDetailed(df: DataFrame, idCol: String, textCol: String,
-                         conf: GraftConf = GraftConf(), threshold: Double = 0.7): NearDups = {
+                         conf: GraftConf = GraftConf(), threshold: Double = 0.7): NearDups =
+    minhashCore(df, idCol, textCol, conf, threshold, cutEdges = true)
+
+  private def minhashCore(df: DataFrame, idCol: String, textCol: String,
+                          conf: GraftConf, threshold: Double,
+                          cutEdges: Boolean): NearDups = {
     import df.sparkSession.implicits._
     // the tokenize→shingle→minhash frame feeds FOUR consumers (block keys,
     // both verification sides, CC nodes) — persist it or the expensive
@@ -77,9 +93,12 @@ object Dedup {
       .select($"leftId", $"rightId")
 
     // verify candidates with exact shingle Jaccard; the edge frame is cut
-    // (materialized) because it feeds BOTH the CC run and the caller
+    // (materialized) only when the caller consumes it (Detailed variants —
+    // it then feeds BOTH the CC run and the caller, and would otherwise
+    // recompute from scratch after toks releases); on the plain path the CC
+    // run's own rotating cut materializes it once and nothing else reads it
     val sides = toks.select($"id", $"shingles")
-    val verified = Lineage.cut(cand
+    val verifiedRaw = cand
       .join(sides.select($"id".as("leftId"), $"shingles".as("ls")), "leftId")
       .join(sides.select($"id".as("rightId"), $"shingles".as("rs")), "rightId")
       .withColumn("inter",
@@ -87,7 +106,8 @@ object Dedup {
       .withColumn("jaccard",
         $"inter".cast("double") / (size($"ls") + size($"rs") - $"inter"))
       .where($"jaccard" >= threshold)
-      .select($"leftId".as("src"), $"rightId".as("dst"), $"jaccard"))
+      .select($"leftId".as("src"), $"rightId".as("dst"), $"jaccard")
+    val verified = if (cutEdges) Lineage.cut(verifiedRaw) else verifiedRaw
 
     val out = Lineage.cut(
       ConnectedComponents.run(toks.select($"id"), verified.select($"src", $"dst"))
@@ -107,11 +127,20 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               maxHamming: Int = 3, conf: GraftConf = GraftConf()): DataFrame =
-    simhashDetailed(df, idCol, textCol, maxHamming, conf).assignments
+    simhashCore(df, idCol, textCol, maxHamming, conf, cutEdges = false).assignments
 
-  /** `simhash` plus the verified edges (src, dst, hamming ≤ maxHamming). */
+  /** `simhash` plus the verified edges (src, dst, hamming ≤ maxHamming).
+    * Same footprint note as `minhashLshDetailed`: only the Detailed variant
+    * cuts the edge frame (one checkpoint round per call); the plain variant
+    * leaves edges lazy for the CC run's self-cleaning cut.
+    */
   def simhashDetailed(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, conf: GraftConf = GraftConf()): NearDups = {
+                      maxHamming: Int = 3, conf: GraftConf = GraftConf()): NearDups =
+    simhashCore(df, idCol, textCol, maxHamming, conf, cutEdges = true)
+
+  private def simhashCore(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int, conf: GraftConf,
+                          cutEdges: Boolean): NearDups = {
     import df.sparkSession.implicits._
     // signature frame feeds four consumers (chunk keys, two signature-side
     // joins, CC nodes) — persist, same rationale as minhashLsh
@@ -129,13 +158,14 @@ object Dedup {
       .select($"id", concat($"c.ci", lit(":"), $"c.cv").as("key"))
 
     val sigs = toks.select($"id", $"sig")
-    // verified edges cut (materialized): they feed the CC run AND the caller
-    val edges = Lineage.cut(Blocking.candidatePairs(blocks, conf)
+    // edges cut only when the caller consumes them (see minhashCore)
+    val edgesRaw = Blocking.candidatePairs(blocks, conf)
       .join(sigs.select($"id".as("leftId"), $"sig".as("lsig")), "leftId")
       .join(sigs.select($"id".as("rightId"), $"sig".as("rsig")), "rightId")
       .withColumn("hamming", bit_count($"lsig".bitwiseXOR($"rsig")))
       .where($"hamming" <= maxHamming)
-      .select($"leftId".as("src"), $"rightId".as("dst"), $"hamming"))
+      .select($"leftId".as("src"), $"rightId".as("dst"), $"hamming")
+    val edges = if (cutEdges) Lineage.cut(edgesRaw) else edgesRaw
     val out = Lineage.cut(
       ConnectedComponents.run(toks.select($"id"), edges.select($"src", $"dst"))
         .withColumnRenamed("component", "dupGroup"))
@@ -157,7 +187,8 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, n: Int = 2, threshold: Double = 0.5,
-                   conf: GraftConf = GraftConf()): PairsResult = {
+                   conf: GraftConf = GraftConf(),
+                   gramsCol: Option[String] = None): PairsResult = {
     import df.sparkSession.implicits._
     // KNOWN two-pass trade: the tokenize+shingle frame feeds both
     // verification join sides, so the row-local shingling runs twice per
@@ -166,13 +197,14 @@ object Dedup {
     // API returns LAZY frames with no safe unpersist point, a persist here
     // would pin an unreleasable corpus-sized cache per call, and a reliable
     // lineage cut would fill the checkpoint dir with corpus-sized rounds
-    // (both reviewed and rejected). Callers on hot paths can persist their
-    // input or pre-shingle once themselves.
+    // (both reviewed and rejected). Hot-path callers avoid the duplicated
+    // row-local work by shingling ONCE themselves — materialize
+    // `ngramGrams(col(text), n)` (persist or write), then pass its column
+    // name as `gramsCol` and textCol/n are ignored (VERDICT r4 #6).
     val toks = df.select(
       col(idCol).cast("string").as("id"), col(blockCol).as("key"),
-      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0).as("tokens"))
-      .withColumn("grams", // sorted once per row -> per-pair merge intersect
-        sort_array(array_distinct(Mentions.shingleHashes($"tokens", n))))
+      gramsCol.map(col) // sorted once per row -> per-pair merge intersect
+        .getOrElse(ngramGrams(col(textCol), n)).as("grams"))
 
     val blocks = toks.select($"key", $"id")
     val sizes = blocks.groupBy($"key").agg(count(lit(1)).as("blockSize"))
@@ -192,6 +224,15 @@ object Dedup {
       .select($"leftId", $"rightId", $"jaccard")
     PairsResult(pairs, sizes.where($"blockSize" > conf.maxBlockSize))
   }
+
+  /** The exact gram column `ngramJaccard` computes per verification side:
+    * sorted distinct xxhash64 n-gram shingles over lowercased alphanumeric
+    * tokens. Exposed so hot-path callers can shingle once (persist/write the
+    * result) and hand `ngramJaccard` the precomputed column via `gramsCol`.
+    */
+  def ngramGrams(text: Column, n: Int): Column =
+    sort_array(array_distinct(Mentions.shingleHashes(
+      filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0), n)))
 
   /** Pairs-only view of `ngramJaccard`. DEFAULTS to capped (VERDICT r3 #1):
     * the previous uncapped default kept every pair but let one hot block go
@@ -232,13 +273,23 @@ object Dedup {
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double = 0.95, planes: Int = 8,
                       seed: Long = 42L, conf: GraftConf = GraftConf()): DataFrame =
-    embeddingCosineDetailed(df, idCol, vecCol, threshold, planes, seed, conf)
-      .assignments
+    embeddingCosineCore(df, idCol, vecCol, threshold, planes, seed, conf,
+      cutEdges = false).assignments
 
-  /** `embeddingCosine` plus the verified edges (src, dst, cos ≥ threshold). */
+  /** `embeddingCosine` plus the verified edges (src, dst, cos ≥ threshold).
+    * Same footprint note as `minhashLshDetailed`: only the Detailed variant
+    * cuts the edge frame (one checkpoint round per call); the plain variant
+    * leaves edges lazy for the CC run's self-cleaning cut.
+    */
   def embeddingCosineDetailed(df: DataFrame, idCol: String, vecCol: String,
                               threshold: Double = 0.95, planes: Int = 8,
-                              seed: Long = 42L, conf: GraftConf = GraftConf()): NearDups = {
+                              seed: Long = 42L, conf: GraftConf = GraftConf()): NearDups =
+    embeddingCosineCore(df, idCol, vecCol, threshold, planes, seed, conf,
+      cutEdges = true)
+
+  private def embeddingCosineCore(df: DataFrame, idCol: String, vecCol: String,
+                                  threshold: Double, planes: Int, seed: Long,
+                                  conf: GraftConf, cutEdges: Boolean): NearDups = {
     import df.sparkSession.implicits._
     // signature frame feeds four consumers (bucket keys, two vector-side
     // joins, CC nodes) — persist, same rationale as minhashLsh
@@ -251,15 +302,16 @@ object Dedup {
     val blocks = withSig.select($"id", concat(lit("h:"), $"sig").as("key"))
     val cand = Blocking.candidatePairs(blocks, conf)
     val sides = withSig.select($"id", $"v", $"norm")
-    // verified edges cut (materialized): they feed the CC run AND the caller
-    val edges = Lineage.cut(cand
+    // edges cut only when the caller consumes them (see minhashCore)
+    val edgesRaw = cand
       .join(sides.select($"id".as("leftId"), $"v".as("lv"), $"norm".as("ln")), "leftId")
       .join(sides.select($"id".as("rightId"), $"v".as("rv"), $"norm".as("rn")), "rightId")
       .withColumn("cos",
         aggregate(zip_with($"lv", $"rv", (a, b) => a * b), lit(0.0), (a, x) => a + x)
           / ($"ln" * $"rn"))
       .where($"cos" >= threshold)
-      .select($"leftId".as("src"), $"rightId".as("dst"), $"cos"))
+      .select($"leftId".as("src"), $"rightId".as("dst"), $"cos")
+    val edges = if (cutEdges) Lineage.cut(edgesRaw) else edgesRaw
     val out = Lineage.cut(
       ConnectedComponents.run(withSig.select($"id"), edges.select($"src", $"dst"))
         .withColumnRenamed("component", "dupGroup"))

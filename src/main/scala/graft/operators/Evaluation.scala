@@ -10,7 +10,17 @@ import org.apache.spark.sql.functions._
 object Evaluation {
 
   final case class PairwiseScores(precision: Double, recall: Double, f1: Double)
-  final case class B3Scores(precision: Double, recall: Double, f1: Double)
+
+  /** `capped` (ADVICE r4): true iff some cluster exceeded `b3`'s
+    * maxClusterSize and the scores are therefore sampled ESTIMATES, not
+    * exact — the programmatic twin of the SLF4J warning, so callers that
+    * need exactness can branch to `b3Exact` instead of parsing logs.
+    * `b3Capped` leaves it false: its callers receive the capped-cluster
+    * metrics frame itself (empty ⇔ exact) and pay no extra action for a
+    * redundant flag.
+    */
+  final case class B3Scores(precision: Double, recall: Double, f1: Double,
+                            capped: Boolean = false)
 
   /** Pairwise P/R/F1 restricted to candidate pairs (the "at shared blocking
     * keys" clause): `pairs` = (leftId, rightId), `sys` = (mentionId,
@@ -79,7 +89,7 @@ object Evaluation {
           s"(e.g. ${capped.take(3).map(r => s"${r.getAs[String]("side")}:${r.get(0)}=${r.get(1)}").mkString(", ")}); " +
           "use b3Capped for the full metrics frame or b3Exact for exact scores.")
     }
-    scores
+    scores.copy(capped = capped.nonEmpty)
   }
 
   /** Exact B³ — no co-member sampling. Quadratic in the largest cluster:

@@ -246,4 +246,53 @@ object Reports {
       .option("sep", "\t").option("header", "false")
       .csv(path)
   }
+
+  /** S9 — human-readable debugging sink (FormattedOutputToHumanReadable
+    * OutputConverter.scala:11-27): the reference's second output format, an
+    * 8-column TSV joining each decision with its mention surface strings
+    * and the linked KB entry — column order exactly the reference's
+    * `toString`: queryId, entityString (original name), entityStringUsed
+    * (expanded), docId, sourceContext, linkId, kbTitle, kbSentence. NIL
+    * links (and any id absent from the KB) print "None" for title and
+    * sentence, the reference's `getOrElse` default.
+    *
+    * `mentions` must carry (id, name, entityString); `doc` and
+    * `corefMentions` ride along when present (the reference's kbpQuery.doc
+    * and corefSourceContext.mkString(" ")) and default to "" otherwise.
+    * `kb` is the broadcast dimension: (kbId, kbName | kbTitle, intro?).
+    */
+  def writeHumanReadableTsv(decisions: DataFrame, mentions: DataFrame,
+                            kb: DataFrame, path: String): Unit = {
+    import decisions.sparkSession.implicits._
+    val has = (c: String) => mentions.columns.contains(c)
+    val mSide = mentions.select(Seq(
+      $"id".as("mentionId"), $"name", $"entityString",
+      (if (has("doc")) $"doc" else lit("")).as("docId"),
+      (if (has("corefMentions"))
+        array_join(coalesce($"corefMentions", array().cast("array<string>")), " ")
+      else lit("")).as("sourceContext")): _*)
+    val kbSide = kb.select(
+      col("kbId"),
+      (if (kb.columns.contains("kbTitle")) col("kbTitle") else col("kbName"))
+        .as("_kbTitle"),
+      (if (kb.columns.contains("intro")) col("intro") else lit(null).cast("string"))
+        .as("_kbSentence"))
+    decisions.select($"mentionId", $"clusterId")
+      .join(mSide, Seq("mentionId"), "left")
+      .join(broadcast(kbSide), $"clusterId" === $"kbId", "left")
+      .select($"mentionId", coalesce($"name", lit("")).as("entityString"),
+        coalesce($"entityString", lit("")).as("entityStringUsed"),
+        coalesce($"docId", lit("")).as("docId"),
+        coalesce($"sourceContext", lit("")).as("sourceContext"),
+        $"clusterId".as("linkId"),
+        coalesce($"_kbTitle", lit("None")).as("kbTitle"),
+        coalesce($"_kbSentence", lit("None")).as("kbSentence"))
+      .orderBy($"mentionId")
+      .write.mode("overwrite")
+      .option("sep", "\t").option("header", "false")
+      // raw empty fields, as the reference's mkString("\t") prints them —
+      // the CSV writer would otherwise quote an empty string as ""
+      .option("emptyValue", "")
+      .csv(path)
+  }
 }

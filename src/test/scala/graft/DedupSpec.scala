@@ -172,4 +172,23 @@ class DedupSpec extends SparkSpec {
     assert(all.pairs.count() == 20L * 19 / 2 + 1)
     assert(all.overflow.isEmpty)
   }
+
+  test("ngramJaccard: pre-shingled gramsCol path emits identical pairs (VERDICT r4 #6)") {
+    val df = Seq(
+      ("a1", "b1", "the quick brown fox jumps over the lazy dog"),
+      ("a2", "b1", "the quick brown fox leaps over the lazy dog"),
+      ("a3", "b1", "completely different words entirely here now"),
+      ("a4", "b2", "another block same text for both rows yes"),
+      ("a5", "b2", "another block same text for both rows yes"))
+      .toDF("id", "blk", "text")
+    val viaText = Dedup.ngramJaccard(df, "id", "text", "blk", n = 2, threshold = 0.3)
+      .pairs.as[(String, String, Double)].collect().toSet
+    // hot-path entry: shingle ONCE into a column, then pass its name —
+    // textCol/n are ignored on this path (pass a bogus n to prove it)
+    val pre = df.withColumn("grams", Dedup.ngramGrams($"text", 2))
+    val viaGrams = Dedup.ngramJaccard(pre, "id", "text", "blk", n = 99,
+        threshold = 0.3, gramsCol = Some("grams"))
+      .pairs.as[(String, String, Double)].collect().toSet
+    assert(viaGrams == viaText && viaText.nonEmpty, s"$viaGrams vs $viaText")
+  }
 }

@@ -106,4 +106,60 @@ class KbLinkSpec extends SparkSpec {
     // anchored confidence comes from the link score (not the 0.55 floor)
     assert(d.where($"clusterId".startsWith("E") && $"confidence" > 0.8).count() > 0)
   }
+
+  test("KbWeights.calibrated strictly improves kb_link_acc on ambiguous names (VERDICT r4 #4)") {
+    // fixture pinning BOTH dormant features:
+    //  - m_amb ("corex", gold NIL): a generic name contained in five KB
+    //    titles; an aliased fuzzy candidate with full context support is
+    //    wrongly accepted by the default preset (z ≈ 5.5 > 2.59), and
+    //    nameAmbiguity (−4·ln 6 ≈ −7.2) demotes it below the bar;
+    //  - m_fn ("Corex One", gold E001): an impostor entity with the SAME
+    //    normalized title ("CorexOne") out-scores the true entity via jw +
+    //    context cosine under the default preset (both rank exactTitle), and
+    //    fullNameMatch (+4.8 on the exact unnormalized string) flips top-1;
+    //  - m_ok: unambiguous control — correct under BOTH presets.
+    val kb = KbLink.introVectors(Seq(
+      ("E001", "Corex One", Seq[String](), "uno intro alpha tokens"),
+      ("E002", "CorexOne", Seq[String](), "impostor ctx tokens here"),
+      ("E003", "Zulu Quartz", Seq[String](), "zulu intro quartz facts"),
+      ("E011", "corex two", Seq("corex"), "ambctx shared tokens now"),
+      ("E012", "corex three", Seq[String](), "three intro"),
+      ("E013", "corex four", Seq[String](), "four intro"))
+      .toDF("kbId", "kbName", "aliases", "intro"), "intro")
+    val mentions = KbLink.introVectors(Seq(
+      ("m_amb", "corex", "ambctx shared tokens now"),
+      ("m_fn", "Corex One", "impostor ctx tokens here"),
+      ("m_ok", "Zulu Quartz", "zulu intro quartz facts"))
+      .toDF("id", "entityString", "ctx"), "ctx")
+      .withColumnRenamed("introVecH", "vecH")
+      .withColumnRenamed("introVecW", "vecW")
+      .withColumn("names", array($"entityString"))
+      .withColumn("abbrs", array(Mentions.initialism($"entityString")))
+      .drop("ctx")
+    val gold = Map("m_amb" -> "NIL", "m_fn" -> "E001", "m_ok" -> "E003")
+    def run(w: KbWeights): (Double, Map[String, (String, Boolean)]) = {
+      val got = KbLink.link(mentions, kb, w)
+        .select($"id", $"kbId", $"accepted").as[(String, String, Boolean)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val ok = gold.count { case (id, g) =>
+        got.get(id) match {
+          case Some((kbId, acc)) => if (g == "NIL") !acc else acc && kbId == g
+          case None => g == "NIL"
+        }
+      }
+      (ok.toDouble / gold.size, got)
+    }
+    val (accDefault, byDefault) = run(KbWeights.default)
+    val (accCal, byCal) = run(KbWeights.calibrated)
+    // pin the default preset's two failure modes (fixture drift guard)
+    assert(byDefault("m_amb")._2, s"default should accept m_amb: $byDefault")
+    assert(byDefault("m_fn")._1 == "E002", s"default should pick the impostor: $byDefault")
+    assert(byDefault("m_ok") == (("E003", true)))
+    // the calibrated preset fixes both without breaking the control
+    assert(!byCal("m_amb")._2, s"nameAmbiguity should demote the fuzzy accept: $byCal")
+    assert(byCal("m_fn") == (("E001", true)), s"fullNameMatch should rescue the exact string: $byCal")
+    assert(byCal("m_ok") == (("E003", true)))
+    assert(accCal > accDefault, s"calibrated acc $accCal !> default $accDefault")
+    info(f"kb_link_acc default=$accDefault%.2f calibrated=$accCal%.2f")
+  }
 }

@@ -155,6 +155,43 @@ class OperatorsSpec extends SparkSpec {
     feats.foreach(f => assert(again(f.id) == f.features.toSeq))
   }
 
+  test("multimodal: real WAV/PCM codec through the same batched seam (VERDICT r4 #9)") {
+    // hand-built RIFF/WAVE, 16-bit stereo PCM: first half silence, second
+    // half constant amplitude 8192 => mono segment RMS exactly 0.25
+    def wav(frames: Int, channels: Int, amp: Short): Array[Byte] = {
+      val dataLen = frames * channels * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(16000)
+      bb.putInt(16000 * channels * 2); bb.putShort((channels * 2).toShort)
+      bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(dataLen)
+      (0 until frames).foreach { f =>
+        val v: Short = if (f < frames / 2) 0 else amp
+        (0 until channels).foreach(_ => bb.putShort(v))
+      }
+      bb.array()
+    }
+    val rows = spark.createDataset(Seq(Multimodal.MediaRow("w1",
+      Multimodal.MediaMeta("audio", 0, 0, 16000, 100L), wav(1600, 2, 8192))))
+    val got = Multimodal.extractFeatures(rows, Multimodal.WavPcmCodec)
+      .collect().head
+    assert(got.featureDim == 16 && got.features.length == 16)
+    (0 until 8).foreach(i => assert(math.abs(got.features(i)) < 1e-6f,
+      s"segment $i should be silent: ${got.features.toSeq}"))
+    (8 until 16).foreach(i => assert(math.abs(got.features(i) - 0.25f) < 1e-4f,
+      s"segment $i RMS should be 0.25: ${got.features.toSeq}"))
+    // malformed payloads fail loudly, never a silent zero vector
+    intercept[IllegalArgumentException] {
+      Multimodal.WavPcmCodec.decodeAndExtract("not a wav at all".getBytes)
+    }
+    intercept[IllegalArgumentException] { // truncated data chunk overruns
+      Multimodal.WavPcmCodec.decodeAndExtract(wav(100, 1, 100).take(50))
+    }
+  }
+
   test("multimodal: frame-sample plan from metadata only") {
     val media = Multimodal.synth(spark, 9).toDF()
     val plan = Multimodal.frameSamplePlan(media, everyMs = 500)
@@ -268,6 +305,40 @@ class OperatorsSpec extends SparkSpec {
     val capped = Evaluation.b3(sys, gold, maxClusterSize = 32)
     assert(math.abs(capped.precision - exact.precision) < 1e-9, s"$capped vs $exact")
     assert(math.abs(capped.recall - exact.recall) < 1e-9)
+    // ADVICE r4: sampled status is surfaced programmatically, not just logged
+    assert(capped.capped, "over-cap b3 must set the capped flag")
+    assert(!default.capped && !exact.capped, "exact scores must not claim capping")
+  }
+
+  test("human-readable sink writes the reference's 8 columns in order, None for NIL (S9)") {
+    val decisions = Seq(("m1", "E000001", 0.9), ("m2", "NIL:m2", 0.6))
+      .toDF("mentionId", "clusterId", "confidence")
+    val mentions = Seq(
+      ("m1", "acme", "acme corporation", "doc1", Seq("Acme Corp ships tools")),
+      ("m2", "zed", "zed", "doc2", Seq.empty[String]))
+      .toDF("id", "name", "entityString", "doc", "corefMentions")
+    val kb = Seq(("E000001", "Acme Corporation", "Acme Corporation is a company"))
+      .toDF("kbId", "kbName", "intro")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hr_tsv").toFile
+    try {
+      val out = new java.io.File(dir, "hr").getPath
+      Reports.writeHumanReadableTsv(decisions, mentions, kb, out)
+      val lines = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("part-"))
+        .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+        .sorted
+      // FormattedOutputToHumanReadableOutputConverter.scala:24 column order:
+      // queryId, entityString, entityStringUsed, docId, sourceContext,
+      // linkId, kbTitle, kbSentence
+      assert(lines.length == 2, lines.mkString("|"))
+      assert(lines(0).split("\t", -1).toSeq == Seq("m1", "acme",
+        "acme corporation", "doc1", "Acme Corp ships tools", "E000001",
+        "Acme Corporation", "Acme Corporation is a company"), lines(0))
+      assert(lines(1).split("\t", -1).toSeq == Seq("m2", "zed", "zed",
+        "doc2", "", "NIL:m2", "None", "None"), lines(1))
+    } finally {
+      new scala.reflect.io.Directory(dir).deleteRecursively()
+    }
   }
 
   test("gazetteer-validated location expansion (A3/F14/P7): container membership decides") {

@@ -241,6 +241,92 @@ class ReferenceParitySpec extends SparkSpec {
     }
   }
 
+  test("acronymExpansion matches the reference takeRight+trim loop (A2)") {
+    // CorefHelperMethods.findBestOrganizationString:273-295, acronym loop
+    // transcribed for ONE candidate: capitalized words, takeRight(acronym
+    // length), per-char case-sensitive initial match, then return the
+    // candidate's word suffix from the FIRST word equal to the matching
+    // tail's head (including the earlier-identical-word quirk). Non-crashing
+    // domain: single-spaced words (the reference indexes word(0)).
+    def reference(originalString: String, cs: String): Option[String] = {
+      val words = cs.split(" ").filter(p => p(0).isUpper)
+        .takeRight(originalString.length())
+      if (words.length >= originalString.length()) {
+        var goodCandidate = true
+        var index = 0
+        for (word <- words) {
+          if (word(0) != originalString(index)) goodCandidate = false
+          index += 1
+        }
+        if (goodCandidate) {
+          val candidateWords = cs.split(" ")
+          var i = 0
+          for (cw <- candidateWords) {
+            if (cw == words.head)
+              return Some(candidateWords.slice(i, candidateWords.length).mkString(" "))
+            i += 1
+          }
+        }
+      }
+      None
+    }
+    val rnd = new scala.util.Random(77)
+    val capPool = Vector("National", "Basketball", "Association", "Bank",
+      "North", "Area", "The", "Big")
+    val lowPool = Vector("of", "the", "in")
+    def phrase() = (0 until 1 + rnd.nextInt(6)).map(_ =>
+      if (rnd.nextInt(4) == 0) lowPool(rnd.nextInt(lowPool.length))
+      else capPool(rnd.nextInt(capPool.length))).mkString(" ")
+    val acrPool = Vector("NBA", "NB", "BA", "TNB", "NBAB", "AN", "BB")
+    val cases = (0 until 150).map(_ =>
+      (acrPool(rnd.nextInt(acrPool.length)), phrase())) ++ Seq(
+      ("NBA", "Bank of National Basketball Association"), // trimmed suffix
+      ("NBA", "National Bank of National Basketball Association"), // quirk:
+      // an identical word EARLIER in the candidate starts the slice there
+      ("NBA", "The Big National Basketball Association"), // extra caps OK
+      ("NBA", "National Basketball"))
+    val got = cases.toDF("acr", "cand")
+      .select($"acr", $"cand", Aliases.acronymExpansion($"cand", $"acr"))
+      .as[(String, String, Option[String])].collect()
+    got.foreach { case (acr, cand, e) =>
+      assert(e == reference(acr, cand),
+        s"diverged on acr=[$acr] cand=[$cand]: $e vs ${reference(acr, cand)}")
+    }
+  }
+
+  test("person-extension rule matches the reference take/takeRight word equality (A4)") {
+    // CorefHelperMethods.findBestPersonString:512-521, the match predicate
+    // transcribed: strictly more words than the name, fewer than 4, and the
+    // FIRST or LAST name-many words equal the name — word-boundary list
+    // equality, NOT a string prefix ("smithson jones" must NOT extend
+    // "smith"; the r4 lower-startswith form wrongly admitted it). Lowercase
+    // domain so the documented case-insensitivity divergence is inert.
+    def referenceMatch(originalString: String, cs: String): Boolean = {
+      val words = cs.split(" ")
+      val originalWords = originalString.split(" ")
+      (words.length > originalWords.length) &&
+        ((words.takeRight(originalWords.length).mkString(" ") == originalString) ||
+          (words.take(originalWords.length).mkString(" ") == originalString)) &&
+        (words.length < 4)
+    }
+    val rnd = new scala.util.Random(88)
+    val pool = Vector("smith", "john", "smithson", "jones", "band", "the")
+    def phrase(n: Int) = (0 until n).map(_ => pool(rnd.nextInt(pool.length))).mkString(" ")
+    val cases = (0 until 150).map { _ =>
+      (phrase(1 + rnd.nextInt(2)), phrase(1 + rnd.nextInt(5)))
+    } ++ Seq(
+      ("smith", "smithson jones"), // sub-word prefix must NOT match
+      ("smith", "smith jones"), ("smith", "john smith"),
+      ("john smith", "john smith band"), ("smith", "john smith band trio"))
+    val got = cases.toDF("name", "cand")
+      .select($"name", $"cand", Aliases.bestExpansion($"name", array($"cand")))
+      .as[(String, String, String)].collect()
+    got.foreach { case (name, cand, e) =>
+      val exp = if (referenceMatch(name, cand)) cand else name
+      assert(e == exp, s"diverged on name=[$name] cand=[$cand]: [$e] vs [$exp]")
+    }
+  }
+
   test("minDistanceBefore matches the reference indexOf scan exactly") {
     // CorefHelperMethods.sortCandidateStringsByProximity:243-260,
     // transcribed: scan every occurrence, keep min(offset - index) over
