@@ -59,7 +59,12 @@ object Bench {
     // corpus() wrapper itself is row()-delegating, so rows() covers it.
     val gen = f"${SynthCorpus.rows(25, 8).hashCode()}%08x"
     val base = s"corpus_f${families}_v${variants}"
-    val cacheRoot = new java.io.File("target/bench-corpus").getAbsoluteFile
+    // resolved against the working directory (sbt and the driver both run
+    // from the repo root); a launcher with a different cwd sets
+    // GRAFT_BENCH_CACHE to keep the cache stable instead of silently
+    // regenerating per-cwd (review r5)
+    val cacheRoot = new java.io.File(
+      sys.env.getOrElse("GRAFT_BENCH_CACHE", "target/bench-corpus")).getAbsoluteFile
     val path = new java.io.File(cacheRoot, s"${base}_g$gen").getPath
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       // remove superseded generations of the same config first — otherwise
@@ -78,20 +83,29 @@ object Bench {
     * symlink inside the cache could aim the cleanup outside it). A symlink —
     * top-level or nested — is unlinked, never traversed: walkFileTree
     * without FOLLOW_LINKS reports a symlink-to-dir as a FILE visit.
+    * BEST-EFFORT like the Directory.deleteRecursively it replaced: an
+    * undeletable stale entry (odd perms from a crashed writer, concurrent
+    * modification) must not abort the bench before the corpus even
+    * generates, so per-entry failures are swallowed and the walk continues.
     */
   private[graft] def deleteRecursivelyNoFollow(root: java.io.File): Unit = {
     import java.nio.file.{Files, FileVisitResult, Path, SimpleFileVisitor}
     import java.nio.file.attribute.BasicFileAttributes
-    if (!Files.exists(root.toPath, java.nio.file.LinkOption.NOFOLLOW_LINKS)) return
-    Files.walkFileTree(root.toPath, new SimpleFileVisitor[Path] {
-      override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
-        Files.deleteIfExists(f); FileVisitResult.CONTINUE
-      }
-      override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
-        if (e != null) throw e
-        Files.deleteIfExists(d); FileVisitResult.CONTINUE
-      }
-    })
+    def tryDelete(p: Path): Unit =
+      try Files.deleteIfExists(p) catch { case _: java.io.IOException => () }
+    try {
+      if (!Files.exists(root.toPath, java.nio.file.LinkOption.NOFOLLOW_LINKS)) return
+      Files.walkFileTree(root.toPath, new SimpleFileVisitor[Path] {
+        override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
+          tryDelete(f); FileVisitResult.CONTINUE
+        }
+        override def visitFileFailed(f: Path, e: java.io.IOException): FileVisitResult =
+          FileVisitResult.CONTINUE
+        override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
+          tryDelete(d); FileVisitResult.CONTINUE
+        }
+      })
+    } catch { case _: java.io.IOException => () }
   }
 
   /** 1-minute load average of the host, read before/after every timed rep —

@@ -19,6 +19,47 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Planted-duplicate corpus behind the closed-form near-dup oracles
+    * (q_minhash_dedup / q_simhash_dedup): 36 tokens unique to each document
+    * of the driver's `documents` table (cross-doc shingle overlap exactly
+    * zero), plus an UPPER-cased copy of every doc_id < 50 under the
+    * disjoint "b" id namespace — the copy lowercases to the identical
+    * token sequence, so its candidacy is guaranteed, not probabilistic.
+    */
+  private def plantedDupCorpus(s: SparkSession, d: String,
+                               tokPrefix: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents").select($"doc_id")
+    val text = concat_ws(" ", transform(sequence(lit(0), lit(35)),
+      j => concat(lit(tokPrefix), $"doc_id".cast("string"), lit("x"), j.cast("string"))))
+    val orig = docs.select(
+      concat(lit("a"), lpad($"doc_id".cast("string"), 9, "0")).as("id"),
+      text.as("text"))
+    val dup = docs.where($"doc_id" < 50).select(
+      concat(lit("b"), lpad($"doc_id".cast("string"), 9, "0")).as("id"),
+      upper(text).as("text"))
+    orig.unionByName(dup)
+  }
+
+  /** One row per dupGroup with member count plus verified-edge aggregates
+    * (`ne` = edge count, `mn`/`mx` = min/max of `edgeCol`) — the single
+    * report shape every planted-construction dedup oracle mirrors (review
+    * r5: previously four diverging copies of this block). Singleton groups
+    * carry NULL aggregates for the caller's coalesce defaults.
+    */
+  private def dupGroupStats(r: graft.operators.Dedup.NearDups,
+                            edgeCol: String): DataFrame = {
+    val s = r.assignments.sparkSession
+    import s.implicits._
+    val groups = r.assignments.groupBy($"dupGroup").agg(count(lit(1)).as("members"))
+    val es = r.edges
+      .join(r.assignments.select($"id".as("src"), $"dupGroup"), "src")
+      .groupBy($"dupGroup")
+      .agg(count(lit(1)).as("ne"), min(col(edgeCol)).as("mn"),
+        max(col(edgeCol)).as("mx"))
+    groups.join(es, Seq("dupGroup"), "left")
+  }
+
   /** Root of the committed golden-parquet oracles, resolved at runtime so a
     * relocated checkout keeps working (ADVICE r3): system property override
     * first, else the path relative to the working directory (sbt and the
@@ -563,23 +604,11 @@ object SparkEntry {
     // SQL closed form. max_edge_hamming = 0 BY CONSTRUCTION on every group.
     "q_simhash_dedup" -> ((s, d) => {
       import s.implicits._
-      val docs = t(s, d, "documents").select($"doc_id")
-      val text = concat_ws(" ", transform(sequence(lit(0), lit(35)),
-        j => concat(lit("s"), $"doc_id".cast("string"), lit("x"), j.cast("string"))))
-      val orig = docs.select(
-        concat(lit("a"), lpad($"doc_id".cast("string"), 9, "0")).as("id"),
-        text.as("text"))
-      val dup = docs.where($"doc_id" < 50).select(
-        concat(lit("b"), lpad($"doc_id".cast("string"), 9, "0")).as("id"),
-        upper(text).as("text"))
-      val r = Dedup.simhashDetailed(orig.unionByName(dup), "id", "text", maxHamming = 3)
-      val groups = r.assignments.groupBy($"dupGroup").agg(count(lit(1)).as("members"))
-      val maxH = r.edges
-        .join(r.assignments.select($"id".as("src"), $"dupGroup"), "src")
-        .groupBy($"dupGroup").agg(max($"hamming").as("mh"))
-      groups.join(maxH, Seq("dupGroup"), "left")
+      val r = Dedup.simhashDetailed(plantedDupCorpus(s, d, "s"), "id", "text",
+        maxHamming = 3)
+      dupGroupStats(r, "hamming")
         .select($"dupGroup", $"members",
-          coalesce($"mh", lit(0)).cast("long").as("max_edge_hamming"))
+          coalesce($"mx", lit(0)).cast("long").as("max_edge_hamming"))
         .orderBy($"dupGroup")
     }),
     // minhash-LSH near-dup, same planted construction (VERDICT r4 #1 —
@@ -590,23 +619,10 @@ object SparkEntry {
     // verification). min_edge_jaccard >= 0.7 by construction (exactly 1.0).
     "q_minhash_dedup" -> ((s, d) => {
       import s.implicits._
-      val docs = t(s, d, "documents").select($"doc_id")
-      val text = concat_ws(" ", transform(sequence(lit(0), lit(35)),
-        j => concat(lit("w"), $"doc_id".cast("string"), lit("x"), j.cast("string"))))
-      val orig = docs.select(
-        concat(lit("a"), lpad($"doc_id".cast("string"), 9, "0")).as("id"),
-        text.as("text"))
-      val dup = docs.where($"doc_id" < 50).select(
-        concat(lit("b"), lpad($"doc_id".cast("string"), 9, "0")).as("id"),
-        upper(text).as("text"))
-      val r = Dedup.minhashLshDetailed(orig.unionByName(dup), "id", "text")
-      val groups = r.assignments.groupBy($"dupGroup").agg(count(lit(1)).as("members"))
-      val minJ = r.edges
-        .join(r.assignments.select($"id".as("src"), $"dupGroup"), "src")
-        .groupBy($"dupGroup").agg(min($"jaccard").as("mj"))
-      groups.join(minJ, Seq("dupGroup"), "left")
+      val r = Dedup.minhashLshDetailed(plantedDupCorpus(s, d, "w"), "id", "text")
+      dupGroupStats(r, "jaccard")
         .select($"dupGroup", $"members",
-          round(coalesce($"mj", lit(1.0)), 4).as("min_edge_jaccard"))
+          round(coalesce($"mn", lit(1.0)), 4).as("min_edge_jaccard"))
         .orderBy($"dupGroup")
     }),
     // skew-stress near-dup (VERDICT r4 #2, the "Smith" regime): every
@@ -630,15 +646,10 @@ object SparkEntry {
         concat(lit("a"), lpad($"doc_id".cast("string"), 9, "0")).as("id"),
         text.as("text"))
       val r = Dedup.minhashLshDetailed(corpus, "id", "text")
-      val groups = r.assignments.groupBy($"dupGroup").agg(count(lit(1)).as("members"))
-      val es = r.edges
-        .join(r.assignments.select($"id".as("src"), $"dupGroup"), "src")
-        .groupBy($"dupGroup")
-        .agg(count(lit(1)).as("ne"), min($"jaccard").as("mj"))
-      groups.join(es, Seq("dupGroup"), "left")
+      dupGroupStats(r, "jaccard")
         .select($"dupGroup", $"members",
           coalesce($"ne", lit(0L)).as("n_edges"),
-          round(coalesce($"mj", lit(1.0)), 4).as("min_edge_jaccard"))
+          round(coalesce($"mn", lit(1.0)), 4).as("min_edge_jaccard"))
         .orderBy($"dupGroup")
     }),
     // uniform control for q_skew_dedup: the SAME asymptotic verified-pair
@@ -656,15 +667,10 @@ object SparkEntry {
         concat(lit("a"), lpad($"doc_id".cast("string"), 9, "0")).as("id"),
         text.as("text"))
       val r = Dedup.minhashLshDetailed(corpus, "id", "text")
-      val groups = r.assignments.groupBy($"dupGroup").agg(count(lit(1)).as("members"))
-      val es = r.edges
-        .join(r.assignments.select($"id".as("src"), $"dupGroup"), "src")
-        .groupBy($"dupGroup")
-        .agg(count(lit(1)).as("ne"), min($"jaccard").as("mj"))
-      groups.join(es, Seq("dupGroup"), "left")
+      dupGroupStats(r, "jaccard")
         .select($"dupGroup", $"members",
           coalesce($"ne", lit(0L)).as("n_edges"),
-          round(coalesce($"mj", lit(1.0)), 4).as("min_edge_jaccard"))
+          round(coalesce($"mn", lit(1.0)), 4).as("min_edge_jaccard"))
         .orderBy($"dupGroup")
     }),
     // embedding-cosine near-dup with a CLOSED-FORM oracle: 50 scaled copies
@@ -688,13 +694,9 @@ object SparkEntry {
           transform($"embedding", x => x * 1.001).as("embedding"))
       val all = orig.unionByName(dup)
       val r = Dedup.embeddingCosineDetailed(all, "id", "embedding", threshold = 0.95)
-      val groups = r.assignments.groupBy($"dupGroup").agg(count(lit(1)).as("members"))
-      val minC = r.edges
-        .join(r.assignments.select($"id".as("src"), $"dupGroup"), "src")
-        .groupBy($"dupGroup").agg(min($"cos").as("mc"))
-      groups.join(minC, Seq("dupGroup"), "left")
+      dupGroupStats(r, "cos")
         .select($"dupGroup", $"members",
-          round(coalesce($"mc", lit(1.0)), 4).as("min_edge_cos"))
+          round(coalesce($"mn", lit(1.0)), 4).as("min_edge_cos"))
         .orderBy($"dupGroup")
     }),
     // LSH ANN top-k, self-checking (scale path of q_embed_topk): per-probe

@@ -201,9 +201,13 @@ object Dedup {
     // row-local work by shingling ONCE themselves — materialize
     // `ngramGrams(col(text), n)` (persist or write), then pass its column
     // name as `gramsCol` and textCol/n are ignored (VERDICT r4 #6).
+    // a supplied gramsCol is re-normalized (sort + distinct): the merge
+    // kernel silently undercounts on unsorted input, and normalizing a
+    // sorted array is cheap next to the tokenize+hash work being skipped —
+    // correctness must not hinge on a scaladoc precondition (review r5)
     val toks = df.select(
       col(idCol).cast("string").as("id"), col(blockCol).as("key"),
-      gramsCol.map(col) // sorted once per row -> per-pair merge intersect
+      gramsCol.map(g => sort_array(array_distinct(col(g))))
         .getOrElse(ngramGrams(col(textCol), n)).as("grams"))
 
     val blocks = toks.select($"key", $"id")

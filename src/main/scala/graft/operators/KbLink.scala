@@ -153,6 +153,10 @@ object KbLink {
     // frame is name-dimension sized (one row per distinct lowercased
     // surface string, same altitude as the alias dictionary); if distinct
     // names ever outgrow broadcast, precompute it offline and join upstream.
+    // COST NOTE (review r5): building amb is a SECOND evaluation of the
+    // mention plan (column-pruned to entityString, but full upstream
+    // lineage) — callers enabling this preset on an expensive uncached
+    // mention frame should persist it first, as Pipeline.run already does.
     val mSrc =
       if (useAmb) {
         mentions.join(broadcast(nameAmbiguity(mentions, kb)),

@@ -79,9 +79,15 @@ object Multimodal {
       while (pos + 8 <= payload.length && (channels < 0 || dataOff < 0)) {
         val id = tag(pos)
         val size = bb.getInt(pos + 4)
-        require(size >= 0 && pos + 8 + size <= payload.length,
+        // Long arithmetic: a hostile declared size near Int.MaxValue must
+        // hit THIS require, not wrap negative and surface later as a raw
+        // IndexOutOfBounds from the sample loop (review r5)
+        require(size >= 0 && pos.toLong + 8L + size <= payload.length,
           s"chunk '$id' overruns payload (size=$size at $pos)")
         if (id == "fmt ") {
+          // the PCM fmt block is 16 bytes; a shorter declared size would
+          // make the channel/bit-depth reads cross into the next chunk
+          require(size >= 16, s"'fmt ' chunk too short (size=$size, want >= 16)")
           val fmt = bb.getShort(pos + 8)
           require(fmt == 1, s"unsupported WAVE format tag $fmt (want 1 = PCM)")
           channels = bb.getShort(pos + 10)
