@@ -174,4 +174,44 @@ class SidecarsSpec extends SparkSpec {
     assert(math.abs(got("flink") - math.log(2.0)) < 1e-12)  // 1 title
     assert(got("nothere") == 0.0)                            // ln(1+0)
   }
+
+  test("S1 query-XML reader: 2012/2013 shape, 2011 offsets fallback, dropped no-id queries") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<kbpentlink>
+        |  <query id="EL_00001"><name>Acme Corp</name><docid>doc_1</docid><beg>100</beg><end>108</end></query>
+        |  <query id="EL_00002"><name>Zed</name><docid>doc_2</docid></query>
+        |  <query id="EL_00003"><name>Dup</name><name>licate</name><docid>doc_3</docid><beg>x</beg><end>5</end></query>
+        |  <query><name>NoId</name><docid>doc_4</docid><beg>1</beg><end>2</end></query>
+        |</kbpentlink>""".stripMargin
+    val p = graft.sources.QueryXml.parseString(xml)
+    assert(p.malformed == 1) // no-id query fails both reference parsers
+    val byId = p.rows.map(q => q.queryId -> q).toMap
+    assert(byId("EL_00001") ==
+      graft.sources.QueryXml.Query("EL_00001", "Acme Corp", "doc_1", 100, 108))
+    // missing beg/end -> the reference's 2011 fallback at offsets -1
+    assert(byId("EL_00002") ==
+      graft.sources.QueryXml.Query("EL_00002", "Zed", "doc_2", -1, -1))
+    // duplicated <name> concatenates (scala-xml \\ semantics) and the
+    // unparsable <beg> routes through the same 2011 fallback
+    assert(byId("EL_00003") ==
+      graft.sources.QueryXml.Query("EL_00003", "Duplicate", "doc_3", -1, -1))
+    // DOCTYPE (XXE vector) is rejected outright
+    intercept[org.xml.sax.SAXParseException] {
+      graft.sources.QueryXml.parseString(
+        "<!DOCTYPE foo [<!ENTITY x SYSTEM \"file:///etc/passwd\">]><kbpentlink/>")
+    }
+    // DataFrame surface
+    val dir = java.nio.file.Files.createTempDirectory("graft_qxml").toFile
+    try {
+      val f = new java.io.File(dir, "queries.xml")
+      java.nio.file.Files.write(f.toPath,
+        xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val (df, dropped) = graft.sources.QueryXml.read(spark, f.getPath)
+      assert(dropped == 1)
+      assert(df.columns.toSeq ==
+        Seq("queryId", "name", "docId", "begOffset", "endOffset"))
+      assert(df.count() == 3)
+    } finally new scala.reflect.io.Directory(dir).deleteRecursively()
+  }
 }
