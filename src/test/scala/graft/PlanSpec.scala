@@ -132,4 +132,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "mention frame must not be sort-merge re-joined")
   }
+
+  test("KbLink.link with KbWeights.calibrated keeps the one-exchange shape") {
+    // the nameAmbiguity activation must join as ONE extra broadcast hash
+    // join on the mention stream — never a shuffle of the mention frame,
+    // never a sort-merge join (the preset's scale story depends on it)
+    val files = SynthCorpus.corpus(spark, 6, 4)
+    val conf = GraftConf()
+    val mentions = Mentions.prepare(spark, files, SynthCorpus.aliasDict, conf).persist()
+    mentions.count()
+    val kb = KbLink.introVectors(SynthCorpus.kb(spark, 6), "intro")
+    val plan = executed(KbLink.link(mentions, kb, KbWeights.calibrated, conf))
+    mentions.unpersist()
+    // allowed exchanges: the per-mention window (partitioned on id) plus
+    // the name-dimension aggregation INSIDE the broadcast build side of
+    // the ambiguity join (partitioned on nameLower — tiny, never the
+    // mention frame)
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning(id")) == 1,
+      s"expected exactly 1 mention-id shuffle (the window) in:\n$plan")
+    assert(exchanges.forall(l =>
+      l.contains("hashpartitioning(id") || l.contains("nameLower")),
+      s"unexpected exchange of mention-derived rows in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "calibrated preset must not sort-merge join the ambiguity frame")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
