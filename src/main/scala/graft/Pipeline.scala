@@ -135,11 +135,20 @@ object Pipeline {
         KbLink.anchors(mentions, kbVec, kbWeights, conf)
       }
     })
-    val blocks = cp.getOrCompute("blocks", h, Seq("mentions")) {
-      Blocking(mentions, conf).blocks
+    // block sizes checkpoint ONCE in their own stage (review r5: the blocks
+    // and overflow stages each re-ran the explode+count aggregation over
+    // the mention table on cold runs); both frames then derive from the
+    // tiny sizes table — the explode itself is narrow and cheap per reuse
+    val exploded = Blocking.explodeKeys(mentions)
+    val sizes = cp.getOrCompute("block_sizes", h, Seq("mentions")) {
+      Blocking.blockSizes(exploded)
     }
-    val overflow = cp.getOrCompute("blocks_overflow", h, Seq("mentions")) {
-      Blocking(mentions, conf).overflow
+    val blocked = Blocking.fromSizes(exploded, sizes, conf)
+    val blocks = cp.getOrCompute("blocks", h, Seq("block_sizes")) {
+      blocked.blocks
+    }
+    val overflow = cp.getOrCompute("blocks_overflow", h, Seq("block_sizes")) {
+      blocked.overflow
     }
     val scored = cp.getOrCompute("scored_pairs", h, Seq("blocks")) {
       val rawPairs = Blocking.candidatePairs(blocks, conf)

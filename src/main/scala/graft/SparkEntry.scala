@@ -750,7 +750,7 @@ object SparkEntry {
       import s.implicits._
       val conf = GraftConf()
       val docs = t(s, d, "documents")
-        .withColumn("tokens", filter(split(lower($"text"), "[^a-z0-9]+"), x => length(x) > 0))
+        .withColumn("tokens", Mentions.contentTokens($"text"))
         .withColumn("bands",
           graft.functions.VecFunctions.minhash_bands(
             Mentions.shingleHashes($"tokens", conf.shingleK),

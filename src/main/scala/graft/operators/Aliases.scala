@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object Aliases {
 
+  /** Shortest candidate with a deterministic (length, string) tie-break —
+    * the cross-rule winner contract (reference `:158` picks shortest; ties
+    * inherit list order there, broken lexicographically here). One
+    * definition for all three rule families (review r5: was three copies).
+    */
+  private def shortest(arr: Column): Column =
+    array_min(transform(arr, c => struct(length(c).as("l"), c.as("c"))))
+      .getField("c")
+
   /** P5 — back-off strings (GeneralHelperMethods.scala:13-29): all
     * contiguous sub-spans of the expanded string, at least one word longer
     * than the original name, that contain the original name. Generator
@@ -102,8 +111,6 @@ object Aliases {
         (lower(array_join(slice(w, lit(1), on), " ")) === lower(name) ||
           lower(array_join(slice(w, size(w) - on + 1, on), " ")) === lower(name))
     })
-    val shortest = (arr: Column) => array_min(transform(arr,
-      c => struct(length(c).as("l"), c.as("c")))).getField("c")
     when(isAcr && size(acrExpansions) > 0, shortest(acrExpansions))
       .when(size(extMatches) > 0, shortest(extMatches))
       .otherwise(name)
@@ -141,9 +148,7 @@ object Aliases {
         coalesce(array_contains(try_element_at(gazetteer, resolved), member),
           lit(false))
     })
-    val shortest = array_min(transform(valid,
-      c => struct(length(c).as("l"), c.as("c")))).getField("c")
-    when(size(valid) > 0, shortest).otherwise(name)
+    when(size(valid) > 0, shortest(valid)).otherwise(name)
   }
 
   /** F15 — locationCasing (CorefHelperMethods.scala:363-376), exact
@@ -198,9 +203,8 @@ object Aliases {
       ne => regexp_replace(ne, " in ", ", "))
     val eligible = filter(cands, c =>
       length(c) > length(name) && !c.contains(","))
-    val shortest = array_min(transform(eligible,
-      c => struct(length(c).as("l"), c.as("c")))).getField("c")
-    when(size(eligible) > 0 && lower(shortest).contains(lower(name)), shortest)
+    val pick = shortest(eligible)
+    when(size(eligible) > 0 && lower(pick).contains(lower(name)), pick)
       .otherwise(name)
   }
 

@@ -19,20 +19,33 @@ object Blocking {
   final case class Result(blocks: DataFrame, overflow: DataFrame)
 
   def apply(mentionsWithKeys: DataFrame, conf: GraftConf): Result = {
-    import mentionsWithKeys.sparkSession.implicits._
-    val exploded = mentionsWithKeys
-      .select($"id", explode($"blockKeys").as("key"))
-      .where($"key".isNotNull)
-
-    // block sizes: one map-side-combinable aggregation on the key
-    val sizes = exploded.groupBy($"key").agg(count(lit(1)).as("blockSize"))
-    val keyed = exploded.join(sizes, "key")
-
-    Result(
-      blocks = keyed.where($"blockSize" <= conf.maxBlockSize)
-        .select($"key", $"id", $"blockSize"),
-      overflow = sizes.where($"blockSize" > conf.maxBlockSize))
+    val exploded = explodeKeys(mentionsWithKeys)
+    fromSizes(exploded, blockSizes(exploded), conf)
   }
+
+  /** (id, key) exploded blocking keys — the shared first step of apply().
+    * Narrow (no shuffle); cheap to recompute per consumer.
+    */
+  def explodeKeys(mentionsWithKeys: DataFrame): DataFrame =
+    mentionsWithKeys
+      .select(col("id"), explode(col("blockKeys")).as("key"))
+      .where(col("key").isNotNull)
+
+  /** Block sizes: one map-side-combinable aggregation on the key. */
+  def blockSizes(exploded: DataFrame): DataFrame =
+    exploded.groupBy(col("key")).agg(count(lit(1)).as("blockSize"))
+
+  /** Result from precomputed exploded keys + sizes — lets runCheckpointed
+    * checkpoint the sizes aggregation ONCE and derive both the blocks and
+    * overflow frames from the tiny table, instead of re-running the
+    * explode+count per stage (review r5).
+    */
+  def fromSizes(exploded: DataFrame, sizes: DataFrame, conf: GraftConf): Result =
+    Result(
+      blocks = exploded.join(sizes, "key")
+        .where(col("blockSize") <= conf.maxBlockSize)
+        .select(col("key"), col("id"), col("blockSize")),
+      overflow = sizes.where(col("blockSize") > conf.maxBlockSize))
 
   /** Candidate pairs: sort-merge self-join on blocking key with l.id < r.id
     * (north_rule "sort-merge join for pair generation"; reference all-pairs

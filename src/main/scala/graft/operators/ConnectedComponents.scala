@@ -117,6 +117,13 @@ object ConnectedComponents {
           cur = afterSmall
           iter += 1
         }
+        // fail-loudly convention (review r5): the star iteration converges
+        // in O(log |V|) rounds, so 50 covers any realizable graph — but a
+        // silent exit here would hand downstream stages a NON-star edge set
+        // whose min(dst) assignment splits true components
+        require(converged,
+          s"connected components did not converge within $maxIter iterations " +
+            s"(${lastSig._1} edges at exit) — raise maxIter")
         // converged edge set: every edge-touched node points at its
         // component min
         cur.select(col("src").as("id"), col("dst"))

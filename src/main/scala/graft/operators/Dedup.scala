@@ -81,7 +81,7 @@ object Dedup {
     // array_intersect per pair; minhash_bands is order-insensitive
     val toks = df.select(
       col(idCol).cast("string").as("id"),
-      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0).as("tokens"))
+      Mentions.contentTokens(col(textCol)).as("tokens"))
       .withColumn("shingles",
         sort_array(array_distinct(Mentions.shingleHashes($"tokens", conf.shingleK))))
       .withColumn("bands", minhash_bands($"shingles", conf.minHashes, conf.bands, conf.seed))
@@ -146,7 +146,7 @@ object Dedup {
     // joins, CC nodes) — persist, same rationale as minhashLsh
     val toks = df.select(
       col(idCol).cast("string").as("id"),
-      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0).as("tokens"))
+      Mentions.contentTokens(col(textCol)).as("tokens"))
       .withColumn("sig", SimHash64.simhash(transform($"tokens", t => xxhash64(t))))
       .drop("tokens")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -224,7 +224,11 @@ object Dedup {
         graft.functions.SortedLongIntersectCount.sorted_long_intersect_count($"lg", $"rg"))
       .withColumn("jaccard",
         $"inter".cast("double") / (size($"lg") + size($"rg") - $"inter"))
-      .where($"jaccard" >= threshold)
+      // empty-grams guard (review r5): two empty gram arrays (reachable
+      // via a user-supplied gramsCol over empty text) give 0/0 = NaN,
+      // which Spark evaluates as >= threshold — an empty document is not
+      // a near-duplicate of another empty document
+      .where(size($"lg") > 0 && size($"rg") > 0 && $"jaccard" >= threshold)
       .select($"leftId", $"rightId", $"jaccard")
     PairsResult(pairs, sizes.where($"blockSize" > conf.maxBlockSize))
   }
@@ -236,7 +240,7 @@ object Dedup {
     */
   def ngramGrams(text: Column, n: Int): Column =
     sort_array(array_distinct(Mentions.shingleHashes(
-      filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0), n)))
+      Mentions.contentTokens(text), n)))
 
   /** Pairs-only view of `ngramJaccard`. DEFAULTS to capped (VERDICT r3 #1):
     * the previous uncapped default kept every pair but let one hot block go
@@ -313,7 +317,11 @@ object Dedup {
       .withColumn("cos",
         aggregate(zip_with($"lv", $"rv", (a, b) => a * b), lit(0.0), (a, x) => a + x)
           / ($"ln" * $"rn"))
-      .where($"cos" >= threshold)
+      // zero-norm guard (review r5): an all-zero embedding gives cos =
+      // 0/0 = NaN, and Spark evaluates NaN >= threshold as TRUE — without
+      // the norm conjuncts one zero vector would "verify" against every
+      // bucket-mate and transitively merge the whole bucket into one group
+      .where($"ln" > 0 && $"rn" > 0 && $"cos" >= threshold)
       .select($"leftId".as("src"), $"rightId".as("dst"), $"cos")
     val edges = if (cutEdges) Lineage.cut(edgesRaw) else edgesRaw
     val out = Lineage.cut(

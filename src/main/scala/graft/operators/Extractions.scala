@@ -42,8 +42,7 @@ object Extractions {
     */
   def argVectors(extractions: DataFrame, argCol: String = "argText"): DataFrame =
     linkVectors(extractions.select(col("id"),
-      explode(filter(split(lower(col(argCol)), "[^a-z0-9]+"),
-        t => length(t) > 0)).as("fbid")))
+      explode(Mentions.contentTokens(col(argCol))).as("fbid")))
 
   /** Join extraction link vectors onto a mention frame (left: mentions
     * without extractions keep null vectors → linkSim coalesces to 0 at

@@ -451,8 +451,7 @@ object KbLink {
     * 1/√n (unit L2). Adds (introVecH, introVecW).
     */
   def introVectors(kb: DataFrame, introCol: String): DataFrame = {
-    val toks = array_distinct(filter(
-      split(lower(col(introCol)), "[^a-z0-9]+"), t => length(t) > 0))
+    val toks = array_distinct(Mentions.contentTokens(col(introCol)))
     kb
       .withColumn("introVecH", sort_array(transform(toks, t => xxhash64(t))))
       .withColumn("introVecW",

@@ -47,6 +47,15 @@ object Mentions {
   /** Normalize a raw name: lowercase, strip non-alphanumerics. */
   def normName(c: Column): Column = regexp_replace(lower(c), "[^a-z0-9]", "")
 
+  /** Content tokenization shared by EVERY text operator (review r5: one
+    * definition instead of eight copies): lowercase, split on
+    * non-alphanumeric runs, drop empties. Cross-operator oracle parity
+    * depends on all sites tokenizing identically — change it here or
+    * nowhere.
+    */
+  def contentTokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
   /** Initialism of a multi-word string (reference toAbbr,
     * MentionPairFeatures.scala:26-27): first letter of each word.
     *
@@ -81,8 +90,7 @@ object Mentions {
       .withColumn("names", array_distinct(array($"name", $"entityString")))
       .withColumn("abbrs", array(initialism($"entityString")))
 
-    expanded.withColumn(
-      "tokens", filter(split(lower($"content"), "[^a-z0-9]+"), t => length(t) > 0))
+    expanded.withColumn("tokens", contentTokens($"content"))
   }
 
   /** Full mention prep: build → blocking keys + TF-IDF vectors, then PRUNE
@@ -113,9 +121,7 @@ object Mentions {
     // uniform unit weights, same hash space as the TF-IDF vectors.
     val withWide =
       if (conf.wideContext) withVocab.withColumn("wideToks",
-        array_distinct(filter(
-          split(lower(concat_ws("/", col("repo"), col("path"))), "[^a-z0-9]+"),
-          t => length(t) > 0)))
+        array_distinct(contentTokens(concat_ws("/", col("repo"), col("path")))))
         .withColumn("wideVecH", sort_array(transform(col("wideToks"), t => xxhash64(t))))
         .withColumn("wideVecW", transform(col("wideVecH"),
           _ => lit(1.0) / sqrt(size(col("wideVecH")).cast("double"))))

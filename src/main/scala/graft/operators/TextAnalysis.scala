@@ -73,7 +73,7 @@ object TextAnalysis {
     * SIGMOD'03). Returns array<long>.
     */
   def fingerprint(text: Column, k: Int = 5, stride: Int = 8): Column = {
-    val toks = filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+    val toks = Mentions.contentTokens(text)
     val windows = Mentions.shingleHashes(toks, k)
     // winnow: group windows into strides, keep min of each
     val nStrides = ceil(size(windows) / lit(stride.toDouble)).cast("int")
