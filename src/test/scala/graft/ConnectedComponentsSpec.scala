@@ -82,4 +82,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(viaDriver == viaStars)
     assert(viaDriver.size == 120)
   }
+
+  test("non-convergence within maxIter fails loudly, never a silent wrong assignment (review r5)") {
+    val nodes = Seq("a", "b", "c").toDF("id")
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      // force the star path (driverFinishEdges = -1) with zero allowed
+      // iterations: the loop exits unconverged and must throw
+      ConnectedComponents.run(nodes, edges, maxIter = 0, driverFinishEdges = -1L)
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+  }
 }

@@ -173,6 +173,29 @@ class DedupSpec extends SparkSpec {
     assert(all.overflow.isEmpty)
   }
 
+  test("zero-norm embeddings: never a near-dup, never a top-k hit (NaN guard, review r5)") {
+    // Spark orders NaN above every real number, so an unguarded
+    // 0/0 = NaN cosine would VERIFY as a duplicate and RANK FIRST in ANN
+    val vecs = Seq(
+      ("z0", Seq(0.0, 0.0, 0.0, 0.0)),
+      ("a1", Seq(1.0, 0.5, 0.25, 0.0)),
+      ("a2", Seq(1.0, 0.5, 0.25, 0.0)), // exact dup of a1
+      ("b1", Seq(0.0, 0.1, 0.9, 0.4))).toDF("id", "v")
+    val r = Dedup.embeddingCosineDetailed(vecs, "id", "v", threshold = 0.95)
+    val groups = r.assignments.as[(String, String)].collect().toMap
+    assert(groups("z0") == "z0", s"zero vector must stay a singleton: $groups")
+    assert(groups("a1") == groups("a2"))
+    assert(r.edges.where($"src" === "z0" || $"dst" === "z0").count() == 0)
+    // ANN: zero-norm corpus row scores the cosine floor, not NaN-rank-1
+    val top = SimilaritySearch.bruteForceTopK(
+      vecs, vecs.where($"id" === "a1"), "id", "v", k = 3)
+      .orderBy($"rank").as[(String, String, Double, Int)].collect()
+    assert(top.head._2 == "a2", s"real neighbor must rank 1: ${top.toSeq}")
+    val z = top.find(_._2 == "z0")
+    assert(z.forall(t => t._3 == -1.0 && t._4 == 3),
+      s"zero vector must score the -1.0 floor and rank last: ${top.toSeq}")
+  }
+
   test("ngramJaccard: pre-shingled gramsCol path emits identical pairs (VERDICT r4 #6)") {
     val df = Seq(
       ("a1", "b1", "the quick brown fox jumps over the lazy dog"),
