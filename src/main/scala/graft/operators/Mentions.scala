@@ -158,6 +158,16 @@ object Mentions {
     // instead of strings — smaller shuffle bytes, cheaper comparisons.
     // Collisions only perturb idf weights (cosine stays a similarity), and
     // at 64 bits they are ~n²/2⁶⁵ — irrelevant below trillions of terms.
+    //
+    // MEASURED AND REJECTED (r5; r4 had deferred it "until a profile says
+    // otherwise"): an in-row run-length tf over the row's sorted hashed
+    // tokens — lambda-bound via one-element transform(array(...)) so
+    // CollapseProject cannot inline the sort per element — produced
+    // BIT-IDENTICAL output but ran 2.5× SLOWER than this form (2.96 s vs
+    // 1.20 s, full tf→idf→assembly on a 16k-doc corpus, local[4]):
+    // Spark's whole-stage-codegen hash aggregation with map-side combine
+    // beats interpreted higher-order-function evaluation by more than the
+    // saved (id, h) exchange is worth. Keep the explode+groupBy form.
     val tf = docs
       .select($"id", explode($"tokens").as("term"))
       .select($"id", xxhash64($"term").as("h"))
