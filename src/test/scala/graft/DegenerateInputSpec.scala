@@ -112,5 +112,34 @@ class DegenerateInputSpec extends SparkSpec {
       .withColumn("abbrs", array($"entityString"))
     val noKb = Seq.empty[(String, String, Seq[String])].toDF("kbId", "kbName", "aliases")
     assert(KbLink.link(mentions, noKb).isEmpty)
+    // calibrated preset on the same degenerate frames: the nameAmbiguity
+    // subplan must tolerate empty sides too
+    assert(KbLink.link(noMentions, kb, KbWeights.calibrated).isEmpty)
+    assert(KbLink.link(mentions, noKb, KbWeights.calibrated).isEmpty)
+  }
+
+  test("query-XML reader on empty / query-free documents") {
+    val p0 = graft.sources.QueryXml.parseString("<kbpentlink/>")
+    assert(p0.rows.isEmpty && p0.malformed == 0)
+    // not XML at all -> loud parse error, not a silent empty result
+    intercept[Exception] { graft.sources.QueryXml.parseString("") }
+    intercept[Exception] { graft.sources.QueryXml.parseString("garbage") }
+  }
+
+  test("human-readable sink on empty decisions writes an empty file set, no crash") {
+    val decisions = Seq.empty[(String, String, Double)]
+      .toDF("mentionId", "clusterId", "confidence")
+    val mentions = Seq.empty[(String, String, String)]
+      .toDF("id", "name", "entityString")
+    val kb = Seq.empty[(String, String)].toDF("kbId", "kbName")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hr_empty").toFile
+    try {
+      val out = new java.io.File(dir, "hr").getPath
+      Reports.writeHumanReadableTsv(decisions, mentions, kb, out)
+      val lines = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("part-"))
+        .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+      assert(lines.isEmpty)
+    } finally new scala.reflect.io.Directory(dir).deleteRecursively()
   }
 }
