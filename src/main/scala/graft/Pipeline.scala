@@ -85,7 +85,8 @@ object Pipeline {
     val edges = accepted.select($"leftId".as("src"), $"rightId".as("dst"))
     // CC output feeds both the result and decisions — persist, or the whole
     // iterative closure reruns per downstream action
-    val components = ConnectedComponents.run(mentions.select($"id"), edges)
+    val components = ConnectedComponents.run(mentions.select($"id"), edges,
+      maxIter = conf.ccMaxIter)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val decisions = Decisions.assemble(components, accepted, anchors, conf.linkThreshold)
 
@@ -161,7 +162,8 @@ object Pipeline {
     val components = cp.getOrCompute("components", h, Seq("scored_pairs")) {
       val edges = scored.where($"score" > conf.linkThreshold)
         .select($"leftId".as("src"), $"rightId".as("dst"))
-      ConnectedComponents.run(mentions.select($"id"), edges)
+      ConnectedComponents.run(mentions.select($"id"), edges,
+      maxIter = conf.ccMaxIter)
     }
     val decisions = cp.getOrCompute("decisions", h, Seq("components")) {
       Decisions.assemble(components,

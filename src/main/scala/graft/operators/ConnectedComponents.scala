@@ -122,8 +122,9 @@ object ConnectedComponents {
         // silent exit here would hand downstream stages a NON-star edge set
         // whose min(dst) assignment splits true components
         require(converged,
-          s"connected components did not converge within $maxIter iterations " +
-            s"(${lastSig._1} edges at exit) — raise maxIter")
+          s"connected components did not converge within $maxIter star rounds " +
+            s"(${lastSig._1} edges at exit) — raise GraftConf.ccMaxIter " +
+            "(Pipeline / Dedup callers) or this run()'s maxIter parameter")
         // converged edge set: every edge-touched node points at its
         // component min
         cur.select(col("src").as("id"), col("dst"))

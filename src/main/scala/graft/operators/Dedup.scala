@@ -82,13 +82,20 @@ object Dedup {
     val toks = df.select(
       col(idCol).cast("string").as("id"),
       Mentions.contentTokens(col(textCol)).as("tokens"))
+      // content-free rule (review r5): a doc with NO alphanumeric tokens
+      // (empty/null/punctuation-only text) carries no similarity signal —
+      // its single hash-of-"" shingle would otherwise give every such doc
+      // an identical signature and merge them all. They stay CC singletons;
+      // byte-identical empty docs are exact-dedup's job. Same rule as
+      // ngramJaccard's empty-grams guard and embeddingCosine's zero-norm.
+      .withColumn("hasContent", coalesce(size($"tokens") > 0, lit(false)))
       .withColumn("shingles",
         sort_array(array_distinct(Mentions.shingleHashes($"tokens", conf.shingleK))))
       .withColumn("bands", minhash_bands($"shingles", conf.minHashes, conf.bands, conf.seed))
       .drop("tokens")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val blocks = toks.select($"id", explode($"bands").as("key"))
+    val blocks = toks.where($"hasContent").select($"id", explode($"bands").as("key"))
     val cand = Blocking.candidatePairs(blocks, conf)
       .select($"leftId", $"rightId")
 
@@ -110,7 +117,8 @@ object Dedup {
     val verified = if (cutEdges) Lineage.cut(verifiedRaw) else verifiedRaw
 
     val out = Lineage.cut(
-      ConnectedComponents.run(toks.select($"id"), verified.select($"src", $"dst"))
+      ConnectedComponents.run(toks.select($"id"), verified.select($"src", $"dst"),
+        maxIter = conf.ccMaxIter)
         .withColumnRenamed("component", "dupGroup")) // materialize before releasing toks
     toks.unpersist()
     NearDups(out, verified)
@@ -147,6 +155,11 @@ object Dedup {
     val toks = df.select(
       col(idCol).cast("string").as("id"),
       Mentions.contentTokens(col(textCol)).as("tokens"))
+      // content-free rule (review r5): all empty-token docs share the
+      // identity signature (hamming 0) and would merge into one giant
+      // group — they carry no signal, so they stay CC singletons, the
+      // same rule as the minhash/ngram/embedding siblings
+      .withColumn("hasContent", coalesce(size($"tokens") > 0, lit(false)))
       .withColumn("sig", SimHash64.simhash(transform($"tokens", t => xxhash64(t))))
       .drop("tokens")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -154,7 +167,8 @@ object Dedup {
     // 4 chunks of 16 bits: chunk i = bits [16i, 16i+16)
     val chunks = (0 until 4).map(i =>
       struct(lit(i).as("ci"), shiftright($"sig", i * 16).bitwiseAND(lit(0xFFFFL)).as("cv")))
-    val blocks = toks.select($"id", explode(array(chunks: _*)).as("c"))
+    val blocks = toks.where($"hasContent")
+      .select($"id", explode(array(chunks: _*)).as("c"))
       .select($"id", concat($"c.ci", lit(":"), $"c.cv").as("key"))
 
     val sigs = toks.select($"id", $"sig")
@@ -167,7 +181,8 @@ object Dedup {
       .select($"leftId".as("src"), $"rightId".as("dst"), $"hamming")
     val edges = if (cutEdges) Lineage.cut(edgesRaw) else edgesRaw
     val out = Lineage.cut(
-      ConnectedComponents.run(toks.select($"id"), edges.select($"src", $"dst"))
+      ConnectedComponents.run(toks.select($"id"), edges.select($"src", $"dst"),
+        maxIter = conf.ccMaxIter)
         .withColumnRenamed("component", "dupGroup"))
     toks.unpersist()
     NearDups(out, edges)
@@ -211,7 +226,7 @@ object Dedup {
         .getOrElse(ngramGrams(col(textCol), n)).as("grams"))
 
     val blocks = toks.select($"key", $"id")
-    val sizes = blocks.groupBy($"key").agg(count(lit(1)).as("blockSize"))
+    val sizes = Blocking.blockSizes(blocks)
     val keyed = blocks.join(sizes, "key")
     val cand = Blocking.candidatePairs(
       keyed.where($"blockSize" <= conf.maxBlockSize), conf)
@@ -317,15 +332,20 @@ object Dedup {
       .withColumn("cos",
         aggregate(zip_with($"lv", $"rv", (a, b) => a * b), lit(0.0), (a, x) => a + x)
           / ($"ln" * $"rn"))
-      // zero-norm guard (review r5): an all-zero embedding gives cos =
-      // 0/0 = NaN, and Spark evaluates NaN >= threshold as TRUE — without
-      // the norm conjuncts one zero vector would "verify" against every
-      // bucket-mate and transitively merge the whole bucket into one group
-      .where($"ln" > 0 && $"rn" > 0 && $"cos" >= threshold)
+      // zero-norm / NaN guard (review r5, both passes): an all-zero
+      // embedding gives cos = 0/0 = NaN, and Spark evaluates NaN >=
+      // threshold as TRUE — without these conjuncts one such vector would
+      // "verify" against every bucket-mate and transitively merge the
+      // whole bucket. The !isnan is load-bearing on its own: a NaN
+      // COMPONENT makes the norm NaN, and NaN > 0 is ALSO true under
+      // Spark's NaN-is-largest ordering, so the norm conjuncts alone
+      // would wave NaN-poisoned vectors through
+      .where(!isnan($"cos") && $"ln" > 0 && $"rn" > 0 && $"cos" >= threshold)
       .select($"leftId".as("src"), $"rightId".as("dst"), $"cos")
     val edges = if (cutEdges) Lineage.cut(edgesRaw) else edgesRaw
     val out = Lineage.cut(
-      ConnectedComponents.run(withSig.select($"id"), edges.select($"src", $"dst"))
+      ConnectedComponents.run(withSig.select($"id"), edges.select($"src", $"dst"),
+        maxIter = conf.ccMaxIter)
         .withColumnRenamed("component", "dupGroup"))
     withSig.unpersist()
     NearDups(out, edges)

@@ -15,6 +15,9 @@ final case class GraftConf(
     maxBlockSize: Int = 256, // skew guard: cap pairs per block (metrics, not silent)
     saltThreshold: Int = 64, // blocks larger than this get salted pair generation
     saltBuckets: Int = 8, // salt fan-out: a hot key spreads over S(S+1)/2 shuffle keys
+    ccMaxIter: Int = 50, // C2 star-iteration cap; the CC non-convergence
+    // require names this knob, so the remedy is reachable from every
+    // public entry (Pipeline + dedup ops) without a code change (review r5)
     seed: Long = 42L,
     levBound: Int = 16, // bounded Levenshtein threshold (north_star)
     contextFilter: Boolean = false, // P4 pair guard (opt-in, as in the reference

@@ -27,17 +27,22 @@ object SimilaritySearch {
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
 
-  /** Zero-norm guard (review r5): a zero vector has no direction, and its
-    * cos would be 0/0 = NaN — which Spark ORDERS ABOVE every real number,
-    * so an unguarded NaN row would steal rank 1 of every probe's top-k.
-    * Pinning it to −1.0 (the cosine floor) ranks it below every genuine
-    * neighbor instead.
+  /** Zero-norm / NaN guard (review r5, both passes): a zero vector has no
+    * direction and its cos would be 0/0 = NaN — which Spark ORDERS ABOVE
+    * every real number, so an unguarded NaN row would steal rank 1 of
+    * every probe's top-k. The norm conjuncts alone do NOT close the hole:
+    * a NaN COMPONENT makes the norm itself NaN and NaN > 0 is true under
+    * the same ordering, so the result is additionally routed through
+    * nanvl. Either way the row scores −1.0 (the cosine floor) and ranks
+    * below every genuine neighbor.
     */
   private def cosineCol: Column =
-    when(col("norm") > 0 && col("qnorm") > 0,
-      aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b), lit(0.0), (a, x) => a + x) /
-        (col("norm") * col("qnorm")))
-      .otherwise(lit(-1.0))
+    nanvl(
+      when(col("norm") > 0 && col("qnorm") > 0,
+        aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b), lit(0.0), (a, x) => a + x) /
+          (col("norm") * col("qnorm")))
+        .otherwise(lit(-1.0)),
+      lit(-1.0))
 
   /** Exact brute-force top-k: corpus × broadcast(probes). */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame,

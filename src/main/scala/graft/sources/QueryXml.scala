@@ -68,13 +68,20 @@ object QueryXml {
     Sidecars.Parsed(rows, malformed)
   }
 
-  /** Read a query file from disk into a DataFrame + dropped-query count. */
+  /** Read a query file into a DataFrame + dropped-query count. The path
+    * resolves through the session's Hadoop FileSystem (review r5) so
+    * hdfs:// and s3a:// query files work wherever the rest of the
+    * pipeline runs — same rationale as Checkpoint's marker probes.
+    */
   def read(spark: SparkSession, path: String): (DataFrame, Int) = {
     import spark.implicits._
-    val text = {
-      val src = scala.io.Source.fromFile(path, "UTF-8")
-      try src.mkString finally src.close()
-    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
     val parsed = parseString(text)
     (parsed.rows.toDF(), parsed.malformed)
   }

@@ -51,16 +51,45 @@ class DegenerateInputSpec extends SparkSpec {
     assert(Reports.categoryCounts(sys, gold).isEmpty)
   }
 
-  test("null text rows: dedup treats them as empty content, never crashes") {
-    val df = Seq(("a", "real content words here"), ("b", null), ("c", null))
+  test("null/empty/punctuation-only text: singletons in every near-dup op, never merged") {
+    // content-free rule (review r5): docs with no alphanumeric tokens all
+    // share the degenerate signature (hash-of-"" shingle / identity
+    // simhash) and previously merged into one giant group — they carry no
+    // similarity signal, so they must come out as SINGLETONS; byte-equal
+    // empty text is exact-dedup's job
+    val df = Seq(("a", "real content words here"), ("b", null), ("c", null),
+      ("d", "!!! ??? ..."), ("e", ""))
       .toDF("id", "text")
     val got = Dedup.minhashLsh(df, "id", "text").as[(String, String)].collect().toMap
-    assert(got.keySet == Set("a", "b", "c"), "null-text docs must still be assigned")
-    assert(got("a") == "a")
+    assert(got.keySet == Set("a", "b", "c", "d", "e"), "all docs must be assigned")
+    assert(got.forall { case (id, g) => g == id }, s"no merges expected: $got")
     val sh = Dedup.simhash(df, "id", "text").as[(String, String)].collect().toMap
-    assert(sh.keySet == Set("a", "b", "c"))
+    assert(sh.keySet == got.keySet)
+    assert(sh.forall { case (id, g) => g == id }, s"no merges expected: $sh")
     val ta = TextAnalysis.analyze(df, "text")
-    assert(ta.count() == 3)
+    assert(ta.count() == 5)
+  }
+
+  test("NaN-component embeddings: never a near-dup, never a top-k winner (review r5)") {
+    // NaN > 0 is TRUE under Spark's NaN ordering, so a norm-positivity
+    // guard alone waves NaN-poisoned vectors through — this pins the
+    // !isnan / nanvl layer
+    val vecs = Seq(
+      ("nan1", Seq(Double.NaN, 1.0, 0.5)),
+      ("a1", Seq(1.0, 0.5, 0.25)),
+      ("a2", Seq(1.0, 0.5, 0.25)),
+      ("b1", Seq(0.1, 0.9, 0.4))).toDF("id", "v")
+    val r = Dedup.embeddingCosineDetailed(vecs, "id", "v", threshold = 0.95)
+    val groups = r.assignments.as[(String, String)].collect().toMap
+    assert(groups("nan1") == "nan1", s"NaN vector must stay a singleton: $groups")
+    assert(groups("a1") == groups("a2"))
+    assert(r.edges.where($"src" === "nan1" || $"dst" === "nan1").count() == 0)
+    val top = SimilaritySearch.bruteForceTopK(
+      vecs, vecs.where($"id" === "a1"), "id", "v", k = 3)
+      .orderBy($"rank").as[(String, String, Double, Int)].collect()
+    assert(top.head._2 == "a2", s"real neighbor must rank 1: ${top.toSeq}")
+    assert(top.find(_._2 == "nan1").forall(t => t._3 == -1.0 && t._4 == 3),
+      s"NaN vector must score the floor and rank last: ${top.toSeq}")
   }
 
   test("connected components on empty graphs") {
