@@ -458,6 +458,28 @@ object SparkEntry {
           Aliases.bestExpansion($"name", $"cands").as("expanded"))
         .orderBy($"p_partkey")
     }),
+    // A2 organization rule, non-acronym path (findBestOrganizationString
+    // :317-357): word-boundary case-sensitive take/takeRight extension with
+    // NO 4-word cap (that cap is the person rule's), then the single-word
+    // prefix fallback. Four fixture regimes per partkey % 4: org extension
+    // via the typed candidate, extension via p_name over a 1-word name,
+    // case-mismatch fallback to the name, and the single-word prefix rule.
+    "q_org_expand" -> ((s, d) => {
+      import s.implicits._
+      val p = t(s, d, "part")
+      val w1 = split($"p_name", " ").getItem(0)
+      val m = $"p_partkey" % 4
+      val name = when(m === 0 || m === 2, $"p_name").otherwise(w1)
+      val cands = when(m === 0,
+          array(concat($"p_type", lit(" "), $"p_name"), upper($"p_name")))
+        .when(m === 1, array($"p_name", concat(w1, lit("ville"))))
+        .when(m === 2, array(upper(concat($"p_type", lit(" "), $"p_name"))))
+        .otherwise(array(concat(w1, lit("ville")), upper($"p_name")))
+      p.select($"p_partkey", name.as("name"), cands.as("cands"))
+        .select($"p_partkey", $"name",
+          Aliases.bestOrgExpansion($"name", $"cands").as("expanded"))
+        .orderBy($"p_partkey")
+    }),
     // A3/F14/P7 full semantics — gazetteer-validated "member, container"
     // expansion (findBestLocationString / locationContainsLocation /
     // expandStateAbbreviation): candidates validated against a broadcast
@@ -1404,6 +1426,21 @@ object SparkEntry {
         |  FROM f GROUP BY p_partkey)
         |SELECT p_partkey, name, coalesce(acr_pick, ext_pick, name) AS expanded
         |FROM pick ORDER BY p_partkey""".stripMargin,
+    // closed-form reconstruction of the four q_org_expand regimes: the
+    // p_type candidate's last-2-words equal the 2-word name (%4=0), p_name
+    // extends the 1-word name (%4=1), upper-casing breaks the
+    // case-sensitive word equality (%4=2 falls back), and the single-word
+    // prefix rule fires when no extension matches (%4=3)
+    "q_org_expand" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_partkey % 4 IN (0, 2) THEN p_name
+        |       ELSE string_split(p_name, ' ')[1] END AS name,
+        |  CASE p_partkey % 4
+        |    WHEN 0 THEN p_type || ' ' || p_name
+        |    WHEN 1 THEN p_name
+        |    WHEN 2 THEN p_name
+        |    ELSE string_split(p_name, ' ')[1] || 'ville' END AS expanded
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q_location_expand" ->
       """WITH gaz AS (
         |  SELECT lower(r_name) AS container, lower(n_name) AS member

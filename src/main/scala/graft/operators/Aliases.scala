@@ -116,6 +116,44 @@ object Aliases {
       .otherwise(name)
   }
 
+  /** A2 organization rule, full reference semantics (CorefHelperMethods
+    * .scala:317-357 — the non-acronym path after the NER location gate):
+    * 1. a candidate with MORE words than the name whose first or last
+    *    name-many words equal the name — word-boundary, CASE-SENSITIVE
+    *    (`==`), and with NO 4-word cap: that cap belongs to the PERSON
+    *    rule (:518), and conflating the two (as `bestExpansion`'s shared
+    *    rule 2 does for dispatch convenience) wrongly rejects long
+    *    organization extensions. The reference returns the candidate's
+    *    words re-joined with single spaces;
+    * 2. else a SINGLE-word candidate that starts with the name
+    *    (case-insensitive, :354) and is strictly longer;
+    * 3. else the name itself.
+    * The probablyOrganization NER/sports gate (:319-335) is the CALLER's
+    * dispatch decision — this rule body assumes it held. Winners pick
+    * shortest-(length, string) where the reference takes first-in-list /
+    * proximity order, and words split on `\\s+` where the reference's
+    * `split(" ")` counts empty words on double spaces (both documented
+    * divergences; pinned in ReferenceParitySpec on the single-spaced
+    * domain).
+    */
+  def bestOrgExpansion(name: Column, candidates: Column): Column = {
+    val rejoined = array_distinct(transform(candidates,
+      c => array_join(split(c, "\\s+"), " ")))
+    val ext = filter(rejoined, c => {
+      val w = split(c, "\\s+")
+      val on = size(split(name, "\\s+"))
+      size(w) > on &&
+        (array_join(slice(w, lit(1), on), " ") === name ||
+          array_join(slice(w, size(w) - on + 1, on), " ") === name)
+    })
+    val single = filter(candidates, c =>
+      startswith(lower(c), lower(name)) && length(c) > length(name) &&
+        size(split(c, "\\s+")) === 1)
+    when(size(ext) > 0, shortest(ext))
+      .when(size(single) > 0, shortest(single))
+      .otherwise(name)
+  }
+
   /** A3/F14/P7 — gazetteer-validated "name, Container" expansion
     * (CorefHelperMethods.scala:426-509 `findBestLocationString`,
     * `isValidLocation`/`locationContainsLocation` :537-590, and

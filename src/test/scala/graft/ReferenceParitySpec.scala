@@ -294,6 +294,47 @@ class ReferenceParitySpec extends SparkSpec {
     }
   }
 
+  test("organization-extension rule matches the reference loops (A2 org path)") {
+    // CorefHelperMethods.findBestOrganizationString:339-357, the two
+    // non-acronym loops transcribed: case-sensitive word take/takeRight
+    // equality with NO word-count cap (the 4-word cap is the person
+    // rule's), words re-joined on match; then the case-insensitive
+    // single-word prefix fallback. Single-spaced, single-candidate domain
+    // (pick-order and split-on-" " divergences documented in the operator).
+    def reference(originalString: String, candidateStrings: List[String]): Option[String] = {
+      for (cs <- candidateStrings) {
+        val words = cs.split(" ")
+        val originalWords = originalString.split(" ")
+        if ((words.length > originalWords.length) &&
+            ((words.takeRight(originalWords.length).mkString(" ") == originalString) ||
+              (words.take(originalWords.length).mkString(" ") == originalString)))
+          return Some(words.mkString(" "))
+      }
+      for (cs <- candidateStrings)
+        if (cs.toLowerCase().startsWith(originalString.toLowerCase()) &&
+            cs.length() > originalString.length() && cs.split(" ").length == 1)
+          return Some(cs)
+      None
+    }
+    val rnd = new scala.util.Random(66)
+    val pool = Vector("Acme", "acme", "Corp", "Holdings", "International",
+      "acmeville", "x")
+    def phrase(n: Int) = (0 until n).map(_ => pool(rnd.nextInt(pool.length))).mkString(" ")
+    val cases = (0 until 150).map(_ =>
+      (phrase(1 + rnd.nextInt(2)), phrase(1 + rnd.nextInt(5)))) ++ Seq(
+      ("acme", "acmeville"), // single-word prefix rule
+      ("Acme", "Acme Corp Holdings International Industries"), // 5 words:
+      // the person rule's <4 cap must NOT apply on the org path
+      ("acme", "ACME Corp")) // case-sensitive equality: no match
+    val got = cases.toDF("name", "cand")
+      .select($"name", $"cand", Aliases.bestOrgExpansion($"name", array($"cand")))
+      .as[(String, String, String)].collect()
+    got.foreach { case (name, cand, e) =>
+      val exp = reference(name, List(cand)).getOrElse(name)
+      assert(e == exp, s"diverged on name=[$name] cand=[$cand]: [$e] vs [$exp]")
+    }
+  }
+
   test("person-extension rule matches the reference take/takeRight word equality (A4)") {
     // CorefHelperMethods.findBestPersonString:512-521, the match predicate
     // transcribed: strictly more words than the name, fewer than 4, and the
