@@ -242,6 +242,11 @@ object Reports {
       .select($"mentionId", $"clusterId",
         format_number($"confidence", 2).as("confidence"))
       .orderBy($"mentionId")
+      // ONE part file, like the reference's PrintWriter output — a
+      // multi-part write would split the global mentionId ordering across
+      // files. Safe: the sink is one row per QUERY (thousands), never
+      // corpus-sized.
+      .coalesce(1)
       .write.mode("overwrite")
       .option("sep", "\t").option("header", "false")
       .csv(path)
@@ -288,6 +293,7 @@ object Reports {
         coalesce($"_kbTitle", lit("None")).as("kbTitle"),
         coalesce($"_kbSentence", lit("None")).as("kbSentence"))
       .orderBy($"mentionId")
+      .coalesce(1) // one ordered file, as the reference emits (see above)
       .write.mode("overwrite")
       .option("sep", "\t").option("header", "false")
       // raw empty fields, as the reference's mkString("\t") prints them —
