@@ -233,23 +233,48 @@ object Reports {
     pos.unionByName(neg)
   }
 
-  /** S9 — submission-format sink (RunKBPEntityLinkerSystem.scala:233-244):
-    * `mentionId \t clusterId \t %1.2f(conf)` TSV.
+  /** One raw TSV line per row: tab-joined fields with NO quoting or
+    * escaping — byte parity with the reference's `mkString("\t")` through a
+    * PrintWriter (ADVICE r5: the CSV writer quotes any field containing a
+    * tab/quote/newline, so sourceContext or kbSentence rows would diverge
+    * from the reference format; `text()` over one concat column cannot).
+    * Fields are null-coalesced to "" because concat_ws SKIPS null arguments
+    * (which would silently drop a tab and shift every later column).
     */
-  def writeSubmissionTsv(decisions: DataFrame, path: String): Unit = {
+  private def tsvLine(fields: Seq[Column]): Column =
+    concat_ws("\t", fields.map(f => coalesce(f.cast("string"), lit(""))): _*)
+
+  /** S9 submission rows as a single ordered `line` column — split out from
+    * the writer so PlanSpec can assert the default write plans no
+    * single-partition exchange.
+    */
+  def submissionRows(decisions: DataFrame): DataFrame = {
     import decisions.sparkSession.implicits._
     decisions
-      .select($"mentionId", $"clusterId",
-        format_number($"confidence", 2).as("confidence"))
+      .select(tsvLine(Seq($"mentionId", $"clusterId",
+        format_number($"confidence", 2))).as("line"), $"mentionId")
       .orderBy($"mentionId")
-      // ONE part file, like the reference's PrintWriter output — a
-      // multi-part write would split the global mentionId ordering across
-      // files. Safe: the sink is one row per QUERY (thousands), never
-      // corpus-sized.
-      .coalesce(1)
-      .write.mode("overwrite")
-      .option("sep", "\t").option("header", "false")
-      .csv(path)
+      .select($"line")
+  }
+
+  /** S9 — submission-format sink (RunKBPEntityLinkerSystem.scala:233-244):
+    * `mentionId \t clusterId \t %1.2f(conf)` TSV.
+    *
+    * Default is a MULTI-PART write: decisions are one row per MENTION — in
+    * this engine's reframing a mention is a repo FILE (SURVEY §1.3), so the
+    * sink is corpus-sized and an unconditional single-file funnel is a
+    * scale-killer at 100× (VERDICT r5 #1: the r5 `coalesce(1)` justified
+    * itself with a wrong "one row per QUERY" claim). Global mentionId order
+    * is still total: `orderBy` range-partitions the rows, so concatenating
+    * part files in part-index order reproduces the reference's single
+    * sorted stream (spec-pinned). `singleFile = true` opts back into the
+    * reference's literal one-file artifact for parity dumps.
+    */
+  def writeSubmissionTsv(decisions: DataFrame, path: String,
+                         singleFile: Boolean = false): Unit = {
+    val rows = submissionRows(decisions)
+    (if (singleFile) rows.coalesce(1) else rows)
+      .write.mode("overwrite").text(path)
   }
 
   /** S9 — human-readable debugging sink (FormattedOutputToHumanReadable
@@ -267,7 +292,8 @@ object Reports {
     * `kb` is the broadcast dimension: (kbId, kbName | kbTitle, intro?).
     */
   def writeHumanReadableTsv(decisions: DataFrame, mentions: DataFrame,
-                            kb: DataFrame, path: String): Unit = {
+                            kb: DataFrame, path: String,
+                            singleFile: Boolean = false): Unit = {
     import decisions.sparkSession.implicits._
     val has = (c: String) => mentions.columns.contains(c)
     val mSide = mentions.select(Seq(
@@ -282,23 +308,26 @@ object Reports {
         .as("_kbTitle"),
       (if (kb.columns.contains("intro")) col("intro") else lit(null).cast("string"))
         .as("_kbSentence"))
-    decisions.select($"mentionId", $"clusterId")
+    val rows = decisions.select($"mentionId", $"clusterId")
       .join(mSide, Seq("mentionId"), "left")
       .join(broadcast(kbSide), $"clusterId" === $"kbId", "left")
-      .select($"mentionId", coalesce($"name", lit("")).as("entityString"),
-        coalesce($"entityString", lit("")).as("entityStringUsed"),
-        coalesce($"docId", lit("")).as("docId"),
-        coalesce($"sourceContext", lit("")).as("sourceContext"),
-        $"clusterId".as("linkId"),
-        coalesce($"_kbTitle", lit("None")).as("kbTitle"),
-        coalesce($"_kbSentence", lit("None")).as("kbSentence"))
+      // raw tab-joined line (no CSV quoting/escaping — byte parity with the
+      // reference's mkString("\t"), see tsvLine): queryId, entityString,
+      // entityStringUsed, docId, sourceContext, linkId, kbTitle, kbSentence
+      .select(tsvLine(Seq(
+        $"mentionId", coalesce($"name", lit("")),
+        coalesce($"entityString", lit("")),
+        coalesce($"docId", lit("")),
+        coalesce($"sourceContext", lit("")),
+        $"clusterId",
+        coalesce($"_kbTitle", lit("None")),
+        coalesce($"_kbSentence", lit("None")))).as("line"), $"mentionId")
       .orderBy($"mentionId")
-      .coalesce(1) // one ordered file, as the reference emits (see above)
-      .write.mode("overwrite")
-      .option("sep", "\t").option("header", "false")
-      // raw empty fields, as the reference's mkString("\t") prints them —
-      // the CSV writer would otherwise quote an empty string as ""
-      .option("emptyValue", "")
-      .csv(path)
+      .select($"line")
+    // multi-part ordered default, coalesce(1) opt-in — same scale rationale
+    // as writeSubmissionTsv (this sink joins the full decision frame too,
+    // even if its role is debugging output)
+    (if (singleFile) rows.coalesce(1) else rows)
+      .write.mode("overwrite").text(path)
   }
 }

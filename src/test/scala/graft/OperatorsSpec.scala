@@ -341,6 +341,66 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("submission sink: multi-part ordered default, coalesce(1) opt-in (S9, VERDICT r5 #1)") {
+    // decisions are MENTION-sized (one row per repo file, SURVEY §1.3) — the
+    // default write must spread over part files while preserving the global
+    // mentionId order across part-file indexes; singleFile=true reproduces
+    // the reference's literal one-file artifact byte-for-byte
+    val decisions = (0 until 240)
+      .map(i => (f"m$i%04d", if (i % 3 == 0) s"E$i" else s"NIL:$i",
+        0.5 + (i % 40) / 100.0))
+      .toDF("mentionId", "clusterId", "confidence")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sub_tsv").toFile
+    try {
+      val multi = new java.io.File(dir, "multi").getPath
+      val single = new java.io.File(dir, "single").getPath
+      // defeat AQE's small-data partition coalescing so the default write
+      // exercises the multi-partition shape the assertion is about
+      val aqeKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val old = spark.conf.get(aqeKey)
+      try {
+        spark.conf.set(aqeKey, "false")
+        Reports.writeSubmissionTsv(decisions, multi)
+      } finally spark.conf.set(aqeKey, old)
+      Reports.writeSubmissionTsv(decisions, single, singleFile = true)
+      def parts(p: String) = new java.io.File(p).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      assert(parts(multi).length > 1,
+        s"default write funneled into ${parts(multi).length} file(s)")
+      assert(parts(single).length == 1)
+      def lines(fs: Array[java.io.File]) =
+        fs.flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq).toSeq
+      val multiLines = lines(parts(multi))
+      // concatenation in part-index order == the single ordered file ==
+      // globally mentionId-sorted rows
+      assert(multiLines == lines(parts(single)))
+      assert(multiLines == multiLines.sortBy(_.split("\t")(0)))
+      assert(multiLines.head == "m0000\tE0\t0.50")
+      assert(multiLines.length == 240)
+    } finally new scala.reflect.io.Directory(dir).deleteRecursively()
+  }
+
+  test("TSV sinks write RAW tabs — no CSV quoting of quote-bearing fields (ADVICE r5)") {
+    // the reference prints mkString("\t") through a PrintWriter: a field
+    // containing a double quote (coref context, KB sentence) goes out raw;
+    // the CSV writer would wrap it in quotes and double the inner ones
+    val decisions = Seq(("m1", "E1", 0.9)).toDF("mentionId", "clusterId", "confidence")
+    val mentions = Seq(
+      ("m1", "acme", "acme \"corp\"", "doc1", Seq("say \"hi\", ok")))
+      .toDF("id", "name", "entityString", "doc", "corefMentions")
+    val kb = Seq(("E1", "Acme", "intro with \"quotes\"")).toDF("kbId", "kbName", "intro")
+    val dir = java.nio.file.Files.createTempDirectory("graft_raw_tsv").toFile
+    try {
+      val out = new java.io.File(dir, "hr").getPath
+      Reports.writeHumanReadableTsv(decisions, mentions, kb, out, singleFile = true)
+      val line = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("part-"))
+        .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq).head
+      assert(line == "m1\tacme\tacme \"corp\"\tdoc1\tsay \"hi\", ok\tE1\tAcme\tintro with \"quotes\"",
+        s"quoting divergence: [$line]")
+    } finally new scala.reflect.io.Directory(dir).deleteRecursively()
+  }
+
   test("gazetteer-validated location expansion (A3/F14/P7): container membership decides") {
     import org.apache.spark.sql.functions.typedlit
     val gaz: Map[String, Seq[String]] = Map(
