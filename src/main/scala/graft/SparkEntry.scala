@@ -1400,7 +1400,7 @@ object SparkEntry {
         |w AS (SELECT p_partkey, name, cand,
         |    string_split(cand, ' ') AS ws,
         |    list_filter(string_split(cand, ' '),
-        |      x -> regexp_matches(x, '^[A-Z]')) AS caps,
+        |      x -> regexp_matches(x, '^\p{Lu}')) AS caps,
         |    length(name) AS al,
         |    len(string_split(name, ' ')) AS onw
         |  FROM c),

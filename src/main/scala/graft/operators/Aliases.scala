@@ -47,6 +47,16 @@ object Aliases {
         contains(lower(s), lower(name)) && s =!= entityString)
   }
 
+  /** Capitalized-word test shared by the A2 acronym forms. `\p{Lu}` (any
+    * Unicode uppercase letter), matching the reference's `p(0).isUpper` on
+    * non-ASCII words like "École" (ADVICE r5 — the previous ASCII `[A-Z]`
+    * silently dropped them from the caps list). Residual divergence,
+    * documented: `Character.isUpperCase` additionally admits a handful of
+    * Other_Uppercase code points (circled letters, Roman numerals) that the
+    * Lu category excludes — no natural-language word starts with one.
+    */
+  private def isCapWord(w: Column): Column = w.rlike("^\\p{Lu}")
+
   /** A2 (acronym part) — does `candidate`'s capitalized-word initialism
     * spell `acronym`? (CorefHelperMethods.scala:262-361 acronym rule.)
     * The SIMPLE membership form (all capitalized words must spell the
@@ -54,7 +64,7 @@ object Aliases {
     * takeRight + trim semantics and is what `bestExpansion` uses.
     */
   def initialsSpell(candidate: Column, acronym: Column): Column = {
-    val caps = filter(split(candidate, "\\s+"), w => w.rlike("^[A-Z]"))
+    val caps = filter(split(candidate, "\\s+"), isCapWord(_))
     val initials = upper(array_join(transform(caps, w => substring(w, 1, 1)), ""))
     initials === upper(acronym)
   }
@@ -76,7 +86,7 @@ object Aliases {
     */
   def acronymExpansion(candidate: Column, acronym: Column): Column = {
     val words = split(candidate, "\\s+")
-    val caps = filter(words, w => w.rlike("^[A-Z]"))
+    val caps = filter(words, isCapWord(_))
     val acrLen = length(acronym)
     val tail = slice(caps, greatest(size(caps) - acrLen + 1, lit(1)), acrLen)
     val initials = array_join(transform(tail, w => substring(w, 1, 1)), "")
@@ -96,9 +106,11 @@ object Aliases {
     * 3. fall back to the name itself.
     * Documented divergences (both pinned in ReferenceParitySpec): winners
     * are picked shortest-first (`:158`) where the reference iterates in
-    * proximity order — `bestExpansion` has no document offset; and the A4
-    * word equality is case-insensitive, consistent with `backoffStrings`'
-    * rationale (a cased surface must not silently drop every expansion).
+    * proximity order — this form has no document offset; call sites that DO
+    * have one use `bestExpansionAt`, which reproduces the reference's
+    * first-match-in-proximity-order exactly. The A4 word equality is
+    * case-insensitive, consistent with `backoffStrings`' rationale (a cased
+    * surface must not silently drop every expansion).
     */
   def bestExpansion(name: Column, candidates: Column): Column = {
     val isAcr = name.rlike("^[A-Z0-9]{2,5}$")
@@ -151,6 +163,69 @@ object Aliases {
         size(split(c, "\\s+")) === 1)
     when(size(ext) > 0, shortest(ext))
       .when(size(single) > 0, shortest(single))
+      .otherwise(name)
+  }
+
+  /** First non-null element of an array (first-match-in-order picker for
+    * the offset-aware dispatchers).
+    */
+  private def firstNonNull(arr: Column): Column =
+    try_element_at(filter(arr, e => e.isNotNull), lit(1))
+
+  /** A1/A2/A4 offset-aware dispatch (VERDICT r5 #5 — the last documented
+    * divergence in the alias stage): the reference sorts candidates by
+    * document proximity BEFORE the rules run and returns the FIRST match in
+    * that order (`sortCandidateStringsByProximity`
+    * CorefHelperMethods.scala:243-260; the acronym loop :273-295 and the
+    * person loop :512-521 both iterate the SORTED list). This overload of
+    * `bestExpansion` reproduces that pick order via `proximitySort`; the
+    * offset-less form keeps its documented shortest-(length, string) pick
+    * for call sites without a document offset. Rule PREDICATES are shared
+    * with `bestExpansion` (including its documented case-insensitive A4
+    * word equality) — only the winner order differs. Ties in occurrence
+    * distance break on the candidate string (A5's documented determinism
+    * fix) where the reference inherits HashMap iteration order.
+    */
+  def bestExpansionAt(doc: Column, offset: Column, name: Column,
+                      candidates: Column): Column = {
+    val sorted = proximitySort(doc, offset, candidates)
+    val isAcr = name.rlike("^[A-Z0-9]{2,5}$")
+    val acrFirst = firstNonNull(transform(sorted, c => acronymExpansion(c, name)))
+    val extMatches = filter(sorted, c => {
+      val w = split(c, "\\s+")
+      val on = size(split(name, "\\s+"))
+      size(w) > on && size(w) < 4 &&
+        (lower(array_join(slice(w, lit(1), on), " ")) === lower(name) ||
+          lower(array_join(slice(w, size(w) - on + 1, on), " ")) === lower(name))
+    })
+    when(isAcr && acrFirst.isNotNull, acrFirst)
+      .when(size(extMatches) > 0, element_at(extMatches, 1))
+      .otherwise(name)
+  }
+
+  /** A2 org rule, offset-aware dispatch (VERDICT r5 #5): the word-extension
+    * loop iterates the candidate list IN ITS GIVEN ORDER — the reference's
+    * :341-351 loop runs over the raw `candidateStrings`, NOT the
+    * proximity-sorted list — while the single-word prefix fallback :353-357
+    * iterates the proximity-sorted list. First match wins in both. Rule
+    * predicates are `bestOrgExpansion`'s (case-sensitive word equality, no
+    * 4-word cap, re-joined single spacing).
+    */
+  def bestOrgExpansionAt(doc: Column, offset: Column, name: Column,
+                         candidates: Column): Column = {
+    val rejoined = transform(candidates, c => array_join(split(c, "\\s+"), " "))
+    val ext = filter(rejoined, c => {
+      val w = split(c, "\\s+")
+      val on = size(split(name, "\\s+"))
+      size(w) > on &&
+        (array_join(slice(w, lit(1), on), " ") === name ||
+          array_join(slice(w, size(w) - on + 1, on), " ") === name)
+    })
+    val singles = filter(proximitySort(doc, offset, candidates), c =>
+      startswith(lower(c), lower(name)) && length(c) > length(name) &&
+        size(split(c, "\\s+")) === 1)
+    when(size(ext) > 0, element_at(ext, 1))
+      .when(size(singles) > 0, element_at(singles, 1))
       .otherwise(name)
   }
 

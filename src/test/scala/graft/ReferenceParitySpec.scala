@@ -271,20 +271,27 @@ class ReferenceParitySpec extends SparkSpec {
       None
     }
     val rnd = new scala.util.Random(77)
+    // "École" exercises the Unicode caps class (ADVICE r5): the reference's
+    // p(0).isUpper counts it as capitalized, so the engine's filter must be
+    // \p{Lu}, not ASCII [A-Z] — under the old class the É-initialled fixed
+    // case below returned null instead of the expansion
     val capPool = Vector("National", "Basketball", "Association", "Bank",
-      "North", "Area", "The", "Big")
+      "North", "Area", "The", "Big", "École")
     val lowPool = Vector("of", "the", "in")
     def phrase() = (0 until 1 + rnd.nextInt(6)).map(_ =>
       if (rnd.nextInt(4) == 0) lowPool(rnd.nextInt(lowPool.length))
       else capPool(rnd.nextInt(capPool.length))).mkString(" ")
-    val acrPool = Vector("NBA", "NB", "BA", "TNB", "NBAB", "AN", "BB")
+    val acrPool = Vector("NBA", "NB", "BA", "TNB", "NBAB", "AN", "BB", "ÉBA")
     val cases = (0 until 150).map(_ =>
       (acrPool(rnd.nextInt(acrPool.length)), phrase())) ++ Seq(
       ("NBA", "Bank of National Basketball Association"), // trimmed suffix
       ("NBA", "National Bank of National Basketball Association"), // quirk:
       // an identical word EARLIER in the candidate starts the slice there
       ("NBA", "The Big National Basketball Association"), // extra caps OK
-      ("NBA", "National Basketball"))
+      ("NBA", "National Basketball"),
+      ("ÉBA", "École Basketball Association"), // non-ASCII uppercase initial
+      ("NBA", "École National Basketball Association")) // É word in the caps
+      // list shifts nothing here (takeRight window) but must not crash/skip
     val got = cases.toDF("acr", "cand")
       .select($"acr", $"cand", Aliases.acronymExpansion($"cand", $"acr"))
       .as[(String, String, Option[String])].collect()
@@ -366,6 +373,101 @@ class ReferenceParitySpec extends SparkSpec {
       val exp = if (referenceMatch(name, cand)) cand else name
       assert(e == exp, s"diverged on name=[$name] cand=[$cand]: [$e] vs [$exp]")
     }
+  }
+
+  test("offset-aware dispatch matches the reference first-match-in-proximity-order (r5 #5)") {
+    // sortCandidateStringsByProximity (:243-260) feeds the acronym loop
+    // (:273-295), the person loop (:512-521) and the org single-word
+    // fallback (:353-357) — each returns the FIRST match in sorted order;
+    // only the org word-extension loop (:341-351) iterates the RAW list.
+    // Transcribed with the A5 documented (distance, candidate) tie-break
+    // where the reference inherits HashMap iteration order. Case
+    // conventions keep the documented case-insensitivity divergence inert
+    // (lowercase person/org family; acronym family's names never word-match
+    // a candidate).
+    def refSort(doc: String, off: Int, cands: Seq[String]): List[String] = {
+      val tuples = cands.distinct.map { c =>
+        var next = doc.indexOf(c); var minD = doc.length
+        while (next != -1) {
+          val p = off - next
+          if (p > 0) minD = math.min(minD, p)
+          next = doc.indexOf(c, next + 1)
+        }
+        (c, minD)
+      }
+      tuples.sortBy(t => (t._2, t._1)).map(_._1).toList
+    }
+    def extMatch(name: String, cs: String, cap4: Boolean): Boolean = {
+      val words = cs.split(" ")
+      val ow = name.split(" ")
+      words.length > ow.length && (!cap4 || words.length < 4) &&
+        (words.takeRight(ow.length).mkString(" ") == name ||
+          words.take(ow.length).mkString(" ") == name)
+    }
+    def refAcrExp(originalString: String, cs: String): Option[String] = {
+      val words = cs.split(" ").filter(p => p(0).isUpper)
+        .takeRight(originalString.length())
+      if (words.length >= originalString.length() &&
+          words.zip(originalString).forall { case (w, c) => w(0) == c }) {
+        val candidateWords = cs.split(" ")
+        val i = candidateWords.indexOf(words.head)
+        Some(candidateWords.slice(i, candidateWords.length).mkString(" "))
+      } else None
+    }
+    def refDispatch(doc: String, off: Int, name: String, cands: Seq[String]): String = {
+      if (name.matches("^[A-Z0-9]{2,5}$"))
+        for (cs <- refSort(doc, off, cands); e <- refAcrExp(name, cs))
+          return e
+      refSort(doc, off, cands).find(extMatch(name, _, cap4 = true)).getOrElse(name)
+    }
+    def refOrg(doc: String, off: Int, name: String, cands: Seq[String]): String =
+      cands.find(extMatch(name, _, cap4 = false)) // RAW order, no 4-word cap
+        .orElse(refSort(doc, off, cands).find(cs =>
+          cs.toLowerCase.startsWith(name.toLowerCase) &&
+            cs.length > name.length && cs.split(" ").length == 1))
+        .getOrElse(name)
+
+    val rnd = new scala.util.Random(55)
+    val low = Vector("smith", "john", "jones", "band", "trio", "acme",
+      "acmeville", "smithville")
+    val cap = Vector("National", "Basketball", "Association", "Bank", "Big")
+    def phrase(pool: Vector[String], n: Int) =
+      (0 until n).map(_ => pool(rnd.nextInt(pool.length))).mkString(" ")
+    val persons = (0 until 120).map { _ =>
+      val doc = phrase(low, 10 + rnd.nextInt(15))
+      (doc, rnd.nextInt(doc.length + 1), low(rnd.nextInt(low.length)),
+        (0 until 1 + rnd.nextInt(4)).map(_ => phrase(low, 1 + rnd.nextInt(3))))
+    } :+ {
+      // constructed: shortest pick ("john smith", len 10) and proximity pick
+      // ("smith jones", occurs before the offset) DISAGREE — the case that
+      // proves the overload is not the shortest rule in disguise
+      val doc = "smith jones leads the band today john smith arrives"
+      (doc, 20, "smith", Seq("smith jones", "john smith"))
+    }
+    val acrs = (0 until 120).map { _ =>
+      val doc = phrase(cap, 8 + rnd.nextInt(12))
+      (doc, rnd.nextInt(doc.length + 1),
+        Vector("NBA", "NB", "BA", "BB", "NBAB")(rnd.nextInt(5)),
+        (0 until 1 + rnd.nextInt(4)).map(_ => phrase(cap, 1 + rnd.nextInt(4))))
+    }
+    val df = (persons ++ acrs).toDF("doc", "off", "name", "cands")
+    val got = df.select($"doc", $"off", $"name", $"cands",
+        Aliases.bestExpansionAt($"doc", $"off", $"name", $"cands"),
+        Aliases.bestOrgExpansionAt($"doc", $"off", $"name", $"cands"),
+        Aliases.bestExpansion($"name", $"cands"))
+      .as[(String, Int, String, Seq[String], String, String, String)].collect()
+    var disagreements = 0
+    got.foreach { case (doc, off, name, cands, at, orgAt, shortest) =>
+      assert(at == refDispatch(doc, off, name, cands),
+        s"dispatch diverged on name=[$name] cands=$cands off=$off doc=[$doc]: " +
+          s"[$at] vs [${refDispatch(doc, off, name, cands)}]")
+      assert(orgAt == refOrg(doc, off, name, cands),
+        s"org dispatch diverged on name=[$name] cands=$cands off=$off doc=[$doc]")
+      if (at != shortest) disagreements += 1
+    }
+    // the sample must actually discriminate proximity order from the
+    // offset-less shortest pick, or the parity above proves nothing
+    assert(disagreements > 0, "no case separated proximity order from shortest pick")
   }
 
   test("minDistanceBefore matches the reference indexOf scan exactly") {
