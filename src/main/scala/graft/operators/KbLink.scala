@@ -141,7 +141,8 @@ object KbLink {
     */
   def link(mentions: DataFrame, kb: DataFrame,
            w: KbWeights = KbWeights.default,
-           conf: GraftConf = GraftConf()): DataFrame = {
+           conf: GraftConf = GraftConf(),
+           ambiguity: Option[DataFrame] = None): DataFrame = {
     val hasVec = mentions.columns.contains("vecH") && kb.columns.contains("introVecH")
     val useAmb = w.nameAmbiguity != 0.0
     val norm = (c: Column) => Mentions.normName(c)
@@ -153,13 +154,16 @@ object KbLink {
     // frame is name-dimension sized (one row per distinct lowercased
     // surface string, same altitude as the alias dictionary); if distinct
     // names ever outgrow broadcast, precompute it offline and join upstream.
-    // COST NOTE (review r5): building amb is a SECOND evaluation of the
-    // mention plan (column-pruned to entityString, but full upstream
-    // lineage) — callers enabling this preset on an expensive uncached
-    // mention frame should persist it first, as Pipeline.run already does.
+    // COST NOTE (review r5 → closed r6): building amb inline is a SECOND
+    // evaluation of the mention plan (column-pruned to entityString, but
+    // full upstream lineage). Callers that already own a materialized amb
+    // frame — Pipeline.runCheckpointed's `name_ambiguity` stage table, or
+    // anything persisted — pass it via `ambiguity` and the mention lineage
+    // evaluates exactly once end-to-end (PlanSpec-pinned); the inline build
+    // remains the convenience default for ad-hoc calls on cheap frames.
     val mSrc =
       if (useAmb) {
-        mentions.join(broadcast(nameAmbiguity(mentions, kb)),
+        mentions.join(broadcast(ambiguity.getOrElse(nameAmbiguity(mentions, kb))),
             lower(col("entityString")) === col("nameLower"), "left")
           .withColumn("_amb", coalesce(col("nameAmbiguity"), lit(0.0)))
           .drop("nameLower", "nameAmbiguity")
@@ -263,8 +267,9 @@ object KbLink {
     */
   def anchors(mentions: DataFrame, kb: DataFrame,
               w: KbWeights = KbWeights.default,
-              conf: GraftConf = GraftConf()): DataFrame =
-    link(mentions, kb, w, conf)
+              conf: GraftConf = GraftConf(),
+              ambiguity: Option[DataFrame] = None): DataFrame =
+    link(mentions, kb, w, conf, ambiguity)
       .where(col("accepted"))
       .select(col("id"), col("kbId"), col("kbScore"),
         col("confidence").as("kbConfidence"))
@@ -392,6 +397,17 @@ object KbLink {
     * once, and the count comes back as a per-name column. Returns
     * (nameLower, nameAmbiguity = ln(1 + #titles containing the name)) for a
     * broadcast join back onto mentions or candidates.
+    *
+    * BUILD COST (ADVICE r5): the containment predicate is non-equi, so
+    * Spark executes this ONE build as a broadcast nested-loop join —
+    * O(distinct names × KB titles) comparisons. That is the price paid once
+    * per pipeline (vs the reference paying a full title scan per CALL), and
+    * `link()`'s "one broadcast hash join, no shuffle" claim covers only the
+    * amb-onto-mentions join, not this build. When distinct names × titles
+    * outgrows one executor's appetite, precompute the frame offline (or
+    * gate on an equi-join over tokenized title words) and hand it to
+    * `link(..., ambiguity = Some(precomputed))` — the signature already
+    * takes it.
     */
   def nameAmbiguity(mentions: DataFrame, kb: DataFrame): DataFrame = {
     val names = mentions.select(lower(col("entityString")).as("nameLower")).distinct()

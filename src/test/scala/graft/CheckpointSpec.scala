@@ -92,6 +92,25 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("calibrated checkpointed run: amb is its own stage; decisions match the direct run (r5 #6)") {
+    val root = tmpDir()
+    val files = SynthCorpus.corpus(spark, families = 6, variants = 4)
+    val kb = Some(SynthCorpus.kb(spark, 6))
+    val ck = Pipeline.runCheckpointed(spark, files, SynthCorpus.aliasDict, root,
+      GraftConf(), kb = kb, kbWeights = graft.operators.KbWeights.calibrated)
+    val d1 = ck.decisions.orderBy($"mentionId").collect()
+    // the amb aggregate must be table-backed (its own committed stage), so
+    // the cold run evaluated the corpus lineage once and a resume reuses it
+    assert(Files.exists(Path.of(s"$root/name_ambiguity/_lineage")),
+      "calibrated preset must checkpoint the ambiguity aggregate as its own stage")
+    val r = Pipeline.run(spark, files, SynthCorpus.aliasDict, GraftConf(),
+      kb = kb, kbWeights = graft.operators.KbWeights.calibrated)
+    val d2 = r.decisions.orderBy($"mentionId").collect()
+    (Seq(r.mentions, r.scored, r.components) ++ r.anchors).foreach(_.unpersist())
+    assert(d1.toSeq == d2.toSeq,
+      "checkpointed calibrated decisions must match the direct run bit-for-bit")
+  }
+
   test("fingerprint distinguishes duplicate-row multisets (sum, not xor — ADVICE r2)") {
     // two frames, same row count, each all-duplicates: a bit_xor of per-row
     // hashes cancels BOTH to 0 and collides; the decimal-sum must not
