@@ -495,6 +495,14 @@ object SparkEntry {
     // prefix fallback. Four fixture regimes per partkey % 4: org extension
     // via the typed candidate, extension via p_name over a 1-word name,
     // case-mismatch fallback to the name, and the single-word prefix rule.
+    // DATA ASSUMPTION (ADVICE r5): the regimes close against the DuckDB
+    // form only because the driver's p_name is always MULTI-WORD and
+    // LOWERCASE (TESTDATA.md pins the table) — a single-word p_name would
+    // flip regime 1 to the "ville" candidate (p_name no longer EXTENDS the
+    // 1-word name), and an already-uppercase p_name would make regime 2's
+    // upper() candidate match instead of falling back. If the driver table
+    // ever changes shape, this query and its oracle diverge LOUDLY (hash
+    // mismatch), which is the desired failure mode.
     "q_org_expand" -> ((s, d) => {
       import s.implicits._
       val p = t(s, d, "part")
@@ -752,16 +760,34 @@ object SparkEntry {
           round(coalesce($"mn", lit(1.0)), 4).as("min_edge_cos"))
         .orderBy($"dupGroup")
     }),
-    // LSH ANN top-k, self-checking (scale path of q_embed_topk): per-probe
-    // recall vs the exact brute-force top-k — the rows make a recall
-    // collapse visible even under a rows-only check
+    // LSH ANN top-k with a CLOSED-FORM oracle (VERDICT r5 #3 — golden
+    // RETIRED by the planted-probe construction): each probe (vec_id < 3)
+    // gets 5 planted positively-scaled copies under the disjoint "b" id
+    // namespace. Same direction => sign(w·x) identical for every
+    // hyperplane => the SAME bucket in EVERY table — candidacy GUARANTEED,
+    // not probabilistic — and cosine ≈ 1.0 far above the table's natural
+    // max pairwise cosine (~0.6, near-isotropic), so the exact top-5 AND
+    // the LSH top-5 are both exactly the 5 copies: n_exact = n_hit = 5,
+    // recall exactly 1.0. The brute-force-vs-LSH comparison still runs
+    // LIVE inside the query, so a recall collapse (bucket bug, signature
+    // drift) fails the oracle — strictly stronger than the old golden,
+    // which could only pin drift.
     "q_lsh_topk" -> ((s, d) => {
       import s.implicits._
       val e = t(s, d, "embeddings")
-      // this table is near-isotropic (top-5 cosines ~0.26-0.37), the hardest
-      // regime for cosine LSH — few planes + many tables is what reaches
-      // recall >= 0.9 there; clustered corpora use more planes (DedupSpec)
-      SimilaritySearch.lshRecall(e, e.where($"vec_id" < 3), "vec_id", "embedding", 5,
+      val orig = e.select(
+        concat(lit("a"), lpad($"vec_id".cast("string"), 9, "0")).as("id"),
+        $"embedding")
+      val copies = e.where($"vec_id" < 3)
+        .select($"vec_id", explode(sequence(lit(1), lit(5))).as("j"), $"embedding")
+        .select(
+          concat(lit("b"), $"vec_id".cast("string"), lit("x"), $"j".cast("string")).as("id"),
+          transform($"embedding",
+            x => x * (lit(1.0) + $"j".cast("double") / 1000.0)).as("embedding"))
+      val probes = e.where($"vec_id" < 3).select(
+        concat(lit("a"), lpad($"vec_id".cast("string"), 9, "0")).as("id"),
+        $"embedding")
+      SimilaritySearch.lshRecall(orig.unionByName(copies), probes, "id", "embedding", 5,
           planes = 4, tables = 8, probeBits = 2)
         .select($"qid", $"n_exact", $"n_hit", round($"recall", 4).as("recall"))
         .orderBy($"qid")
@@ -798,19 +824,35 @@ object SparkEntry {
           xxhash64(to_json(transform($"features", f => round(f, 4)))).as("fhash"))
         .orderBy($"id")
     }),
-    // minhash-LSH block keys over documents (B1 reframing)
+    // minhash-LSH block keys over a PLANTED corpus (B1 reframing; golden
+    // RETIRED per VERDICT r5 #3 — the q_minhash_dedup construction applied
+    // one level down, at the BAND key layer): each doc_id < 50 gets an
+    // UPPER-cased copy that lowercases to the identical token sequence =>
+    // identical shingle set => ALL `bands` (16) band values equal, so each
+    // {orig, copy} pair forms exactly 16 two-member blocks; distinct docs
+    // share zero shingles, so their band values are independent 64-bit
+    // hashes (cross-pair collision ~2⁻⁶⁴ — rejected as negligible, and it
+    // would surface as a LOUD hash mismatch, not a silent pass). Band keys
+    // carry the band INDEX (pos) exactly as Mentions.withBlockKeys emits
+    // them, so same-doc cross-band collisions cannot merge either. The
+    // banding itself runs live — a minhash/banding drift changes the block
+    // structure and fails the closed form.
     "q_minhash_blocks" -> ((s, d) => {
       import s.implicits._
       val conf = GraftConf()
-      val docs = t(s, d, "documents")
+      val docs = plantedDupCorpus(s, d, "k")
         .withColumn("tokens", Mentions.contentTokens($"text"))
         .withColumn("bands",
           graft.functions.VecFunctions.minhash_bands(
             Mentions.shingleHashes($"tokens", conf.shingleK),
             conf.minHashes, conf.bands, conf.seed))
-      docs.select($"doc_id", explode($"bands").as("band"))
-        .groupBy($"band").agg(count(lit(1)).as("n"))
+      docs.select($"id", posexplode($"bands"))
+        .select($"id", concat($"pos", lit(":"), $"col").as("band"))
+        .groupBy($"band").agg(count(lit(1)).as("n"), min($"id").as("g"))
         .where($"n" > 1)
+        .groupBy($"g")
+        .agg(count(lit(1)).as("n_bands"), max($"n").as("max_members"))
+        .orderBy($"g")
     }),
     // connected components on the documents near-dup graph (C2)
     "q_connected_components" -> ((s, d) => {
@@ -1543,8 +1585,8 @@ object SparkEntry {
         |  CAST(CASE WHEN c.c_custkey % 2 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_people
         |FROM customer c ORDER BY c.c_custkey""".stripMargin,
     // Golden-parquet oracles (VERDICT r2 #4): these operators are not
-    // SQL-expressible (minhash band values / LSH tables / Lloyd iterations /
-    // the full pipeline), but their inputs
+    // SQL-expressible (Lloyd iterations / the multimodal codec / the full
+    // pipeline), but their inputs
     // are SEEDED (driver's read-only sf0.01 tables or the seeded synthetic
     // corpus) and every aggregation on the path is order-exact (max / min /
     // count / integer sums — no double-sum ulp drift), so the correct
@@ -1603,7 +1645,13 @@ object SparkEntry {
         |       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_edges,
         |       CAST(1.0 AS DOUBLE) AS min_edge_jaccard
         |FROM documents GROUP BY doc_id % 25 ORDER BY dupGroup""".stripMargin,
-    "q_minhash_blocks" -> goldenSql("q_minhash_blocks"),
+    // closed-form planted band structure (VERDICT r5 #3): one row per
+    // planted {orig, copy} pair — all 16 (GraftConf.bands) band keys
+    // collide pairwise and nothing else collides
+    "q_minhash_blocks" ->
+      """SELECT 'a' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS g,
+        |  CAST(16 AS BIGINT) AS n_bands, CAST(2 AS BIGINT) AS max_members
+        |FROM documents WHERE doc_id < 50 ORDER BY g""".stripMargin,
     // q_text_analysis left the golden set in r4 (VERDICT r3 #2a): every
     // output column is SQL-expressible — langId mirrors the q_langid chain,
     // quality/token counts are arithmetic, and fp_len (the winnowing
@@ -1646,7 +1694,13 @@ object SparkEntry {
         |    AS BIGINT) AS n_tokens_bpe,
         |  CAST(greatest(CAST(ceil(nwin / 8.0) AS INT), 1) AS INT) AS fp_len
         |FROM q ORDER BY doc_id""".stripMargin,
-    "q_lsh_topk" -> goldenSql("q_lsh_topk"),
+    // closed-form planted-probe recall (VERDICT r5 #3): every probe's exact
+    // AND approximate top-5 are its 5 guaranteed-bucket planted copies
+    "q_lsh_topk" ->
+      """SELECT 'a' || lpad(CAST(vec_id AS VARCHAR), 9, '0') AS qid,
+        |  CAST(5 AS BIGINT) AS n_exact, CAST(5 AS BIGINT) AS n_hit,
+        |  CAST(1.0 AS DOUBLE) AS recall
+        |FROM embeddings WHERE vec_id < 3 ORDER BY qid""".stripMargin,
     "q_multimodal_features" -> goldenSql("q_multimodal_features"),
     "q_pipeline_decisions" -> goldenSql("q_pipeline_decisions"),
     // the gates close at exactly 1.0 by the synthetic corpus's construction

@@ -30,8 +30,7 @@ object GoldenGen {
     * exact brute force inside their own output.
     */
   val goldenQueries = Seq(
-    "q_minhash_blocks",
-    "q_lsh_topk", "q_multimodal_features", "q_pipeline_decisions", "q_ivf_topk")
+    "q_multimodal_features", "q_pipeline_decisions", "q_ivf_topk")
   // resolved from the working dir / env so a relocated checkout regenerates
   // in place (ADVICE r3); defaults match the driver sandbox
   val sfDir: String = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.01")
