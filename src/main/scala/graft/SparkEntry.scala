@@ -519,6 +519,59 @@ object SparkEntry {
           Aliases.bestOrgExpansion($"name", $"cands").as("expanded"))
         .orderBy($"p_partkey")
     }),
+    // A1/A2/A4 OFFSET-AWARE dispatch (VERDICT r5 #5 made a product surface,
+    // review r6): bestExpansionAt / bestOrgExpansionAt reproduce the
+    // reference's first-match-in-PROXIMITY-order picking, so each regime
+    // constructs the doc and offset so that proximity order, raw-list order
+    // and the offset-less shortest pick all disagree somewhere. Per
+    // p_partkey % 4 (w1/w2 = p_name's first words; same multi-word
+    // lowercase-alphabetic data assumption as q_org_expand above):
+    //   0: person ext — "w1 w2" occurs before the offset, "zz w1" only
+    //      after => proximity picks "w1 w2" where shortest picks "zz w1";
+    //      the org raw-order loop also lands on "w1 w2" (first in list).
+    //   1: acronym — two candidates both spell the initialism; the
+    //      LONGER one ("W1ton W2ville") sits before the offset => the
+    //      proximity pick, where shortest picks "W1 W2". Org: no
+    //      case-sensitive ext match, no single-word candidate => name.
+    //   2: org single-word prefix FALLBACK is proximity-sorted —
+    //      "w1ville" occurs in-doc, "w1ton" doesn't => w1ville, where
+    //      shortest picks w1ton. Person: single-word candidates can't
+    //      extend => name.
+    //   3: org word-extension loop iterates the RAW list (reference
+    //      :341-351) => "zz w1" (listed first) although "w1 w2" is the
+    //      proximity winner the person rule returns.
+    "q_expand_at" -> ((s, d) => {
+      import s.implicits._
+      val p = t(s, d, "part")
+      val w1 = split($"p_name", " ").getItem(0)
+      val w2 = split($"p_name", " ").getItem(1)
+      def cap(x: org.apache.spark.sql.Column) =
+        concat(upper(x.substr(lit(1), lit(1))), x.substr(lit(2), length(x)))
+      val cA = concat(w1, lit(" "), w2)
+      val cB = concat(lit("zz "), w1)
+      val cN = concat(cap(w1), lit("ton "), cap(w2), lit("ville"))
+      val cF = concat(cap(w1), lit(" "), cap(w2))
+      val acr = upper(concat(w1.substr(lit(1), lit(1)), w2.substr(lit(1), lit(1))))
+      val m = $"p_partkey" % 4
+      val name = when(m === 1, acr).otherwise(w1)
+      val cands = when(m === 0, array(cA, cB))
+        .when(m === 1, array(cF, cN))
+        .when(m === 2, array(concat(w1, lit("ton")), concat(w1, lit("ville"))))
+        .otherwise(array(cB, cA))
+      val doc = when(m === 0, concat(cA, lit(" qq "), cB))
+        .when(m === 1, concat(cN, lit(" qq "), cF))
+        .when(m === 2, concat(w1, lit("ville qq")))
+        .otherwise(concat(cA, lit(" qq")))
+      val off = when(m === 0, length(cA)).when(m === 1, length(cN))
+        .when(m === 2, length(w1) + lit(5)).otherwise(length(cA))
+      p.select($"p_partkey", name.as("name"), doc.as("doc"), off.as("off"),
+          cands.as("cands"))
+        .select($"p_partkey", $"name",
+          Aliases.bestExpansionAt($"doc", $"off", $"name", $"cands").as("expanded"),
+          Aliases.bestOrgExpansionAt($"doc", $"off", $"name", $"cands")
+            .as("org_expanded"))
+        .orderBy($"p_partkey")
+    }),
     // A3/F14/P7 full semantics — gazetteer-validated "member, container"
     // expansion (findBestLocationString / locationContainsLocation /
     // expandStateAbbreviation): candidates validated against a broadcast
@@ -1502,6 +1555,30 @@ object SparkEntry {
         |    WHEN 2 THEN p_name
         |    ELSE string_split(p_name, ' ')[1] || 'ville' END AS expanded
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // closed form of the q_expand_at regimes (the engine runs proximitySort
+    // + the rule predicates live; the oracle states each regime's expected
+    // first-match-in-proximity-order winner)
+    "q_expand_at" ->
+      """WITH p AS (SELECT p_partkey, p_partkey % 4 AS m,
+        |    string_split(p_name, ' ')[1] AS w1,
+        |    string_split(p_name, ' ')[2] AS w2
+        |  FROM part),
+        |e AS (SELECT p_partkey, m, w1, w2,
+        |    upper(substr(w1, 1, 1)) || substr(w1, 2) AS uw1,
+        |    upper(substr(w2, 1, 1)) || substr(w2, 2) AS uw2,
+        |    upper(substr(w1, 1, 1) || substr(w2, 1, 1)) AS acr
+        |  FROM p)
+        |SELECT p_partkey,
+        |  CASE WHEN m = 1 THEN acr ELSE w1 END AS name,
+        |  CASE m WHEN 0 THEN w1 || ' ' || w2
+        |         WHEN 1 THEN uw1 || 'ton ' || uw2 || 'ville'
+        |         WHEN 2 THEN w1
+        |         ELSE w1 || ' ' || w2 END AS expanded,
+        |  CASE m WHEN 0 THEN w1 || ' ' || w2
+        |         WHEN 1 THEN acr
+        |         WHEN 2 THEN w1 || 'ville'
+        |         ELSE 'zz ' || w1 END AS org_expanded
+        |FROM e ORDER BY p_partkey""".stripMargin,
     "q_location_expand" ->
       """WITH gaz AS (
         |  SELECT lower(r_name) AS container, lower(n_name) AS member

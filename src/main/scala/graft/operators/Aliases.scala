@@ -116,17 +116,44 @@ object Aliases {
     val isAcr = name.rlike("^[A-Z0-9]{2,5}$")
     val acrExpansions = filter(
       transform(candidates, c => acronymExpansion(c, name)), e => e.isNotNull)
-    val extMatches = filter(candidates, c => {
-      val w = split(c, "\\s+")
-      val on = size(split(name, "\\s+"))
-      size(w) > on && size(w) < 4 &&
-        (lower(array_join(slice(w, lit(1), on), " ")) === lower(name) ||
-          lower(array_join(slice(w, size(w) - on + 1, on), " ")) === lower(name))
-    })
+    val extMatches = filter(candidates, personExtends(_, name))
     when(isAcr && size(acrExpansions) > 0, shortest(acrExpansions))
       .when(size(extMatches) > 0, shortest(extMatches))
       .otherwise(name)
   }
+
+  /** A4 person-extension predicate, shared by BOTH dispatch forms so the
+    * offset-less and offset-aware pickers can never desynchronize on the
+    * rule itself (only the winner order may differ): a candidate of < 4
+    * words whose first or last name-many words equal the name,
+    * word-boundary, case-insensitive.
+    */
+  private def personExtends(c: Column, name: Column): Column = {
+    val w = split(c, "\\s+")
+    val on = size(split(name, "\\s+"))
+    size(w) > on && size(w) < 4 &&
+      (lower(array_join(slice(w, lit(1), on), " ")) === lower(name) ||
+        lower(array_join(slice(w, size(w) - on + 1, on), " ")) === lower(name))
+  }
+
+  /** A2 org word-extension predicate, shared by both org dispatch forms:
+    * case-sensitive word-boundary equality, NO 4-word cap (that cap is the
+    * person rule's). Callers pass re-joined single-spaced candidates.
+    */
+  private def orgExtends(c: Column, name: Column): Column = {
+    val w = split(c, "\\s+")
+    val on = size(split(name, "\\s+"))
+    size(w) > on &&
+      (array_join(slice(w, lit(1), on), " ") === name ||
+        array_join(slice(w, size(w) - on + 1, on), " ") === name)
+  }
+
+  /** A2 org single-word prefix fallback predicate (:354), shared by both
+    * org dispatch forms: one word, case-insensitive prefix, strictly longer.
+    */
+  private def singleWordPrefix(c: Column, name: Column): Column =
+    startswith(lower(c), lower(name)) && length(c) > length(name) &&
+      size(split(c, "\\s+")) === 1
 
   /** A2 organization rule, full reference semantics (CorefHelperMethods
     * .scala:317-357 — the non-acronym path after the NER location gate):
@@ -151,16 +178,8 @@ object Aliases {
   def bestOrgExpansion(name: Column, candidates: Column): Column = {
     val rejoined = array_distinct(transform(candidates,
       c => array_join(split(c, "\\s+"), " ")))
-    val ext = filter(rejoined, c => {
-      val w = split(c, "\\s+")
-      val on = size(split(name, "\\s+"))
-      size(w) > on &&
-        (array_join(slice(w, lit(1), on), " ") === name ||
-          array_join(slice(w, size(w) - on + 1, on), " ") === name)
-    })
-    val single = filter(candidates, c =>
-      startswith(lower(c), lower(name)) && length(c) > length(name) &&
-        size(split(c, "\\s+")) === 1)
+    val ext = filter(rejoined, orgExtends(_, name))
+    val single = filter(candidates, singleWordPrefix(_, name))
     when(size(ext) > 0, shortest(ext))
       .when(size(single) > 0, shortest(single))
       .otherwise(name)
@@ -191,13 +210,7 @@ object Aliases {
     val sorted = proximitySort(doc, offset, candidates)
     val isAcr = name.rlike("^[A-Z0-9]{2,5}$")
     val acrFirst = firstNonNull(transform(sorted, c => acronymExpansion(c, name)))
-    val extMatches = filter(sorted, c => {
-      val w = split(c, "\\s+")
-      val on = size(split(name, "\\s+"))
-      size(w) > on && size(w) < 4 &&
-        (lower(array_join(slice(w, lit(1), on), " ")) === lower(name) ||
-          lower(array_join(slice(w, size(w) - on + 1, on), " ")) === lower(name))
-    })
+    val extMatches = filter(sorted, personExtends(_, name))
     when(isAcr && acrFirst.isNotNull, acrFirst)
       .when(size(extMatches) > 0, element_at(extMatches, 1))
       .otherwise(name)
@@ -214,16 +227,9 @@ object Aliases {
   def bestOrgExpansionAt(doc: Column, offset: Column, name: Column,
                          candidates: Column): Column = {
     val rejoined = transform(candidates, c => array_join(split(c, "\\s+"), " "))
-    val ext = filter(rejoined, c => {
-      val w = split(c, "\\s+")
-      val on = size(split(name, "\\s+"))
-      size(w) > on &&
-        (array_join(slice(w, lit(1), on), " ") === name ||
-          array_join(slice(w, size(w) - on + 1, on), " ") === name)
-    })
-    val singles = filter(proximitySort(doc, offset, candidates), c =>
-      startswith(lower(c), lower(name)) && length(c) > length(name) &&
-        size(split(c, "\\s+")) === 1)
+    val ext = filter(rejoined, orgExtends(_, name))
+    val singles = filter(proximitySort(doc, offset, candidates),
+      singleWordPrefix(_, name))
     when(size(ext) > 0, element_at(ext, 1))
       .when(size(singles) > 0, element_at(singles, 1))
       .otherwise(name)
