@@ -66,15 +66,12 @@ object Pipeline {
       else kb.map { k =>
         val kbVec =
           if (k.columns.contains("intro")) KbLink.introVectors(k, "intro") else k
-        // calibrated-preset amb frame built here, off the PERSISTED mention
-        // frame, and passed down — link() then never re-evaluates the
-        // mention lineage for it (r5 cost note closed; no-op at default
-        // weights)
-        val amb =
-          if (kbWeights.nameAmbiguity != 0.0)
-            Some(KbLink.nameAmbiguity(mentions, kbVec))
-          else None
-        KbLink.anchors(mentions, kbVec, kbWeights, conf, amb)
+        // calibrated preset: link() builds the amb aggregate inline — a
+        // second pass over the mention frame, served by the persist above
+        // (a cache read, not a lineage re-run). Only runCheckpointed below
+        // genuinely single-scans the lineage, by making amb its own
+        // table-backed stage.
+        KbLink.anchors(mentions, kbVec, kbWeights, conf)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     val anchors = kbAnchors.orElse(ownAnchors)

@@ -92,13 +92,25 @@ object SparkEntry {
     * plus both F10 extraction side tables on, exactly the former per-query
     * `Pipeline.run` arguments. Checkpointed stages are table-backed (nothing
     * persisted), so there is no per-invocation cache to release.
+    *
+    * Memoized per SparkSession (review r6): runCheckpointed's stage lookup
+    * re-fingerprints every INPUT frame (a full scan-and-hash of the
+    * in-memory synthetic corpus) even when all stages are already
+    * committed, so without the memo the gates query pays the fingerprint
+    * pass again just to rediscover the decisions stage it shares with
+    * q_pipeline_decisions. Keyed on the session (not a lazy val) because
+    * tests and GoldenGen call through here with their own sessions, and a
+    * Result's frames are only valid in the session that read them.
     */
+  private val pipelineMemo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Pipeline.Result]()
   private def pipelineCheckpointed(s: SparkSession): Pipeline.Result =
-    Pipeline.runCheckpointed(s, SynthCorpus.corpus(s), SynthCorpus.aliasDict,
-      pipelineCacheRoot,
-      kb = Some(SynthCorpus.kb(s)),
-      extractions = Some(SynthCorpus.extractions(s)),
-      argExtractions = Some(SynthCorpus.argExtractions(s)))
+    pipelineMemo.computeIfAbsent(s, _ =>
+      Pipeline.runCheckpointed(s, SynthCorpus.corpus(s), SynthCorpus.aliasDict,
+        pipelineCacheRoot,
+        kb = Some(SynthCorpus.kb(s)),
+        extractions = Some(SynthCorpus.extractions(s)),
+        argExtractions = Some(SynthCorpus.argExtractions(s))))
 
   /** Flagship: full KB-link → blocking → scoring → CC → decisions run on the
     * synthetic repo-file corpus; driver smoke-checks rows > 0. KB-anchored

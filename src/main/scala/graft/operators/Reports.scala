@@ -251,8 +251,13 @@ object Reports {
   def submissionRows(decisions: DataFrame): DataFrame = {
     import decisions.sparkSession.implicits._
     decisions
+      // format_string, NOT format_number (review r6): format_number's
+      // DecimalFormat rounds HALF_EVEN (0.125 -> "0.12") where the
+      // reference's %1.2f goes through java.util.Formatter and rounds
+      // HALF_UP (-> "0.13") — format_string IS Formatter, so tie values
+      // match the reference byte-for-byte
       .select(tsvLine(Seq($"mentionId", $"clusterId",
-        format_number($"confidence", 2))).as("line"), $"mentionId")
+        format_string("%1.2f", $"confidence"))).as("line"), $"mentionId")
       .orderBy($"mentionId")
       .select($"line")
   }
@@ -313,12 +318,11 @@ object Reports {
       .join(broadcast(kbSide), $"clusterId" === $"kbId", "left")
       // raw tab-joined line (no CSV quoting/escaping — byte parity with the
       // reference's mkString("\t"), see tsvLine): queryId, entityString,
-      // entityStringUsed, docId, sourceContext, linkId, kbTitle, kbSentence
+      // entityStringUsed, docId, sourceContext, linkId, kbTitle, kbSentence.
+      // tsvLine already coalesces plain nulls to "" — only the two "None"
+      // defaults (the reference's getOrElse on the KB lookup) are explicit
       .select(tsvLine(Seq(
-        $"mentionId", coalesce($"name", lit("")),
-        coalesce($"entityString", lit("")),
-        coalesce($"docId", lit("")),
-        coalesce($"sourceContext", lit("")),
+        $"mentionId", $"name", $"entityString", $"docId", $"sourceContext",
         $"clusterId",
         coalesce($"_kbTitle", lit("None")),
         coalesce($"_kbSentence", lit("None")))).as("line"), $"mentionId")
