@@ -864,8 +864,33 @@ object SparkEntry {
     // visible; clustered corpora run small nprobe (DedupSpec: 2/8 at 1.0)
     "q_ivf_topk" -> ((s, d) => {
       import s.implicits._
+      // IVF ANN top-k with a CLOSED-FORM oracle (golden RETIRED, review r6 —
+      // the q_lsh_topk planted-probe construction adapted to euclidean cell
+      // assignment): each probe (vec_id < 3) gets 5 EXACT copies under the
+      // disjoint "b" id namespace. Identical vectors compute the identical
+      // centroid-distance array, so the copies land in the probe's own
+      // nearest cell WHATEVER the Lloyd iterations produced — candidacy is
+      // guaranteed for any nprobe >= 1, not probabilistic — and their
+      // cosine (~1.0) sits far above the near-isotropic table's natural
+      // pairwise max (~0.6), so the exact AND the IVF top-5 are both
+      // exactly the 5 copies: recall exactly 1.0. Copies are EXACT (not
+      // positively scaled as in q_lsh_topk): scaling preserves hyperplane
+      // signs but can flip a euclidean Voronoi cell near a boundary. The
+      // quantizer, Lloyd updates, and cell probing all still run live — an
+      // assignment or probing bug breaks the closed form loudly.
       val e = t(s, d, "embeddings")
-      SimilaritySearch.ivfRecall(e, e.where($"vec_id" < 3), "vec_id", "embedding", 5,
+      val orig = e.select(
+        concat(lit("a"), lpad($"vec_id".cast("string"), 9, "0")).as("id"),
+        $"embedding")
+      val copies = e.where($"vec_id" < 3)
+        .select($"vec_id", explode(sequence(lit(1), lit(5))).as("j"), $"embedding")
+        .select(
+          concat(lit("b"), $"vec_id".cast("string"), lit("x"), $"j".cast("string")).as("id"),
+          $"embedding")
+      val probes = e.where($"vec_id" < 3).select(
+        concat(lit("a"), lpad($"vec_id".cast("string"), 9, "0")).as("id"),
+        $"embedding")
+      SimilaritySearch.ivfRecall(orig.unionByName(copies), probes, "id", "embedding", 5,
           nlist = 16, nprobe = 12, iters = 3)
         .select($"qid", $"n_exact", $"n_hit", round($"recall", 4).as("recall"))
         .orderBy($"qid")
@@ -1674,7 +1699,7 @@ object SparkEntry {
         |  CAST(CASE WHEN c.c_custkey % 2 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_people
         |FROM customer c ORDER BY c.c_custkey""".stripMargin,
     // Golden-parquet oracles (VERDICT r2 #4): these operators are not
-    // SQL-expressible (Lloyd iterations / the multimodal codec / the full
+    // SQL-expressible (the multimodal codec / the full
     // pipeline), but their inputs
     // are SEEDED (driver's read-only sf0.01 tables or the seeded synthetic
     // corpus) and every aggregation on the path is order-exact (max / min /
@@ -1798,7 +1823,13 @@ object SparkEntry {
     "q_pipeline_gates" ->
       """SELECT CAST(1.0 AS DOUBLE) AS gold_pair_f1,
         |       CAST(1.0 AS DOUBLE) AS kb_link_acc""".stripMargin,
-    "q_ivf_topk" -> goldenSql("q_ivf_topk")
+    // closed-form planted-copy recall (review r6): every probe's exact AND
+    // IVF top-5 are its 5 same-cell exact copies
+    "q_ivf_topk" ->
+      """SELECT 'a' || lpad(CAST(vec_id AS VARCHAR), 9, '0') AS qid,
+        |  CAST(5 AS BIGINT) AS n_exact, CAST(5 AS BIGINT) AS n_hit,
+        |  CAST(1.0 AS DOUBLE) AS recall
+        |FROM embeddings WHERE vec_id < 3 ORDER BY qid""".stripMargin
   )
 
   private def goldenSql(name: String): String =

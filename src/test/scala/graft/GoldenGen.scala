@@ -18,19 +18,16 @@ object GoldenGen {
   /** Queries whose output is a pure function of seeded inputs AND free of
     * order-dependent float aggregation (max/min/count and integer-exact
     * sums only — a distributed avg or sum of doubles drifts in the last ulp
-    * with partition merge order and would make a golden flaky). q_ivf_topk
-    * qualifies since the Lloyd update quantizes contributions to fixed-point
-    * longs (integer-exact sums).
+    * with partition merge order and would make a golden flaky).
     *
     * A golden pins DRIFT, not present correctness — queries whose semantics
     * matter beyond determinism have independent gates elsewhere:
     * q_pipeline_decisions' answers are checked against the synthetic
     * corpus's GOLD clusters (pairwise-F1 ≥ 0.99 + KB-link ≥ 97% accuracy
-    * gates in PipelineSpec/KbLinkSpec) and the ANN queries emit recall vs
-    * exact brute force inside their own output.
+    * gates in PipelineSpec/KbLinkSpec).
     */
   val goldenQueries = Seq(
-    "q_multimodal_features", "q_pipeline_decisions", "q_ivf_topk")
+    "q_multimodal_features", "q_pipeline_decisions")
   // resolved from the working dir / env so a relocated checkout regenerates
   // in place (ADVICE r3); defaults match the driver sandbox
   val sfDir: String = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.01")
