@@ -902,16 +902,31 @@ object SparkEntry {
         .select($"doc_id", $"lang_pred", $"quality", $"n_tokens_ws",
           $"n_tokens_bpe", size($"fp").as("fp_len"))
     }),
-    // multimodal plumbing: synthetic media -> batched feature extraction.
-    // Projected to SCALAR columns (the driver's pandas compare sorts/hashes
-    // every column, and array<float> is unhashable there): first feature
-    // rounded + a 64-bit hash of the full rounded vector.
+    // multimodal plumbing with a CLOSED-FORM oracle (golden RETIRED,
+    // round 6): `synthPlanted` audio rows are constant-amplitude WAVs whose
+    // per-segment RMS through the REAL WavPcmCodec is bit-exactly
+    // (1 + i%8)/16 (dyadic arithmetic end to end — see wavConstant's
+    // scaladoc), and image/video rows are constant-byte payloads whose
+    // FakeCodec features all land within float-summation noise of
+    // 0.2*(1 + i%5), stable under round(_, 4). Projected to scalar columns
+    // (the driver's pandas compare hashes every column): rounded min/max of
+    // the 16 features + the distinct count of the rounded vector, which
+    // pins EVERY element (n_vals = 1 forces all 16 to equal fmin = fmax).
+    // Both codecs still run live — a chunk-walk, channel-mix, segmenting,
+    // or batching bug breaks the closed form loudly.
     "q_multimodal_features" -> ((s, _) => {
       import s.implicits._
-      Multimodal.extractFeatures(Multimodal.synth(s, 256)).toDF()
+      val media = Multimodal.synthPlanted(s, 256)
+      Multimodal.extractFeatures(media.filter(_.meta.kind == "audio"),
+          Multimodal.WavPcmCodec)
+        .unionByName(Multimodal.extractFeatures(
+          media.filter(_.meta.kind != "audio")))
+        .toDF()
         .select($"id", $"kind", $"featureDim",
-          round($"features".getItem(0), 4).as("f0"),
-          xxhash64(to_json(transform($"features", f => round(f, 4)))).as("fhash"))
+          round(array_min($"features").cast("double"), 4).as("fmin"),
+          round(array_max($"features").cast("double"), 4).as("fmax"),
+          size(array_distinct(transform($"features",
+            f => round(f.cast("double"), 4)))).cast("long").as("n_vals"))
         .orderBy($"id")
     }),
     // minhash-LSH block keys over a PLANTED corpus (B1 reframing; golden
@@ -1698,9 +1713,8 @@ object SparkEntry {
         |  CAST(CASE WHEN c.c_custkey % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_orgs,
         |  CAST(CASE WHEN c.c_custkey % 2 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_people
         |FROM customer c ORDER BY c.c_custkey""".stripMargin,
-    // Golden-parquet oracles (VERDICT r2 #4): these operators are not
-    // SQL-expressible (the multimodal codec / the full
-    // pipeline), but their inputs
+    // Golden-parquet oracle (VERDICT r2 #4): the full pipeline is not
+    // SQL-expressible, but its inputs
     // are SEEDED (driver's read-only sf0.01 tables or the seeded synthetic
     // corpus) and every aggregation on the path is order-exact (max / min /
     // count / integer sums — no double-sum ulp drift), so the correct
@@ -1815,7 +1829,21 @@ object SparkEntry {
         |  CAST(5 AS BIGINT) AS n_exact, CAST(5 AS BIGINT) AS n_hit,
         |  CAST(1.0 AS DOUBLE) AS recall
         |FROM embeddings WHERE vec_id < 3 ORDER BY qid""".stripMargin,
-    "q_multimodal_features" -> goldenSql("q_multimodal_features"),
+    // closed-form planted-media features (golden RETIRED, round 6): audio
+    // rows decode to exactly (1 + i%8)/16 per segment (dyadic-exact WAV
+    // RMS), image/video rows to 0.2*(1 + i%5) per slot; 16 identical
+    // values => fmin = fmax = the literal and n_vals = 1
+    "q_multimodal_features" ->
+      """SELECT printf('m%04d', i) AS id,
+        |  CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(16 AS INTEGER) AS featureDim,
+        |  round(CASE WHEN i % 3 = 1 THEN (1 + i % 8) / 16.0
+        |             ELSE 0.2 * (1 + i % 5) END, 4) AS fmin,
+        |  round(CASE WHEN i % 3 = 1 THEN (1 + i % 8) / 16.0
+        |             ELSE 0.2 * (1 + i % 5) END, 4) AS fmax,
+        |  CAST(1 AS BIGINT) AS n_vals
+        |FROM range(256) t(i) ORDER BY id""".stripMargin,
     "q_pipeline_decisions" -> goldenSql("q_pipeline_decisions"),
     // the gates close at exactly 1.0 by the synthetic corpus's construction
     // (PipelineSpec asserts the same thresholds); a pipeline regression

@@ -150,6 +150,52 @@ object Multimodal {
       .select(col("id"), explode(col("sampleTimesMs")).as("frameAtMs"))
   }
 
+  /** Constant-amplitude 16-bit PCM RIFF/WAVE payload. With every sample at
+    * amplitude `amp`, `WavPcmCodec`'s per-segment RMS is EXACTLY
+    * `amp / 32768`, bit-for-bit: the mono mix `(amp*channels)/channels /
+    * 32768` is dyadic (power-of-two denominator), its square is exact in
+    * double, the sum of `count` identical dyadic squares is exact (integer
+    * times dyadic), `sqrt` of an exactly-represented square returns the
+    * root exactly, and `toFloat` of `k/16` is exact. This is what lets the
+    * planted `q_multimodal_features` oracle close in SQL with zero
+    * tolerance while the codec still runs live.
+    */
+  def wavConstant(frames: Int, channels: Int, amp: Short,
+                  sampleRateHz: Int = 16000): Array[Byte] = {
+    val dataLen = frames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(sampleRateHz)
+    bb.putInt(sampleRateHz * channels * 2); bb.putShort((channels * 2).toShort)
+    bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    var f = 0
+    while (f < frames * channels) { bb.putShort(amp); f += 1 }
+    bb.array()
+  }
+
+  /** Planted media table whose features are CLOSED-FORM (golden retirement,
+    * round 6): audio rows (i % 3 == 1) carry constant-amplitude stereo WAV
+    * payloads — through `WavPcmCodec` every segment RMS is exactly
+    * `(1 + i % 8) / 16` (see `wavConstant`) — and image/video rows carry
+    * 256 constant bytes `B = 51 * (1 + i % 5)` — `FakeCodec` averages 16
+    * copies of `B / 255f` per slot, identical arithmetic in all 16 slots,
+    * so every feature lands within float-summation noise (~1e-7) of
+    * `B / 255 = 0.2 * (1 + i % 5)`, stable under `round(_, 4)`.
+    */
+  def synthPlanted(spark: SparkSession, n: Int = 64): Dataset[MediaRow] = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val kind = Seq("image", "audio", "video")(i % 3)
+      val payload =
+        if (i % 3 == 1) wavConstant(1600, 2, (2048 * (1 + i % 8)).toShort)
+        else Array.fill[Byte](256)((51 * (1 + i % 5)).toByte)
+      MediaRow(f"m$i%04d", MediaMeta(kind, 64, 48, 16000, 100L), payload)
+    }.toDS()
+  }
+
   /** Deterministic synthetic media table for tests (seeded bytes). */
   def synth(spark: SparkSession, n: Int = 64, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._

@@ -26,8 +26,7 @@ object GoldenGen {
     * corpus's GOLD clusters (pairwise-F1 ≥ 0.99 + KB-link ≥ 97% accuracy
     * gates in PipelineSpec/KbLinkSpec).
     */
-  val goldenQueries = Seq(
-    "q_multimodal_features", "q_pipeline_decisions")
+  val goldenQueries = Seq("q_pipeline_decisions")
   // resolved from the working dir / env so a relocated checkout regenerates
   // in place (ADVICE r3); defaults match the driver sandbox
   val sfDir: String = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -192,6 +192,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: planted table features are closed-form (golden retirement r6)") {
+    // audio rows: BIT-EXACT equality, no tolerance — the dyadic-arithmetic
+    // argument in wavConstant's scaladoc is the thing under test here
+    val feats = Multimodal.extractFeatures(
+        Multimodal.synthPlanted(spark, 24).filter(_.meta.kind == "audio"),
+        Multimodal.WavPcmCodec)
+      .collect().map(f => f.id -> f.features).toMap
+    assert(feats.size == 8)
+    feats.foreach { case (id, fs) =>
+      val i = id.drop(1).toInt
+      val expected = (1 + i % 8) / 16.0f
+      assert(fs.length == 16 && fs.forall(_ == expected),
+        s"$id: want all-exact $expected, got ${fs.toSeq}")
+    }
+    // image/video rows: all 16 FakeCodec slots identical (same arithmetic)
+    // and within summation noise of B/255
+    val fake = Multimodal.extractFeatures(
+        Multimodal.synthPlanted(spark, 24).filter(_.meta.kind != "audio"))
+      .collect()
+    assert(fake.length == 16)
+    fake.foreach { f =>
+      val i = f.id.drop(1).toInt
+      val expected = 0.2f * (1 + i % 5)
+      assert(f.features.distinct.length == 1, s"${f.id}: slots differ")
+      assert(math.abs(f.features(0) - expected) < 1e-5f,
+        s"${f.id}: want ~$expected, got ${f.features(0)}")
+    }
+  }
+
   test("multimodal: frame-sample plan from metadata only") {
     val media = Multimodal.synth(spark, 9).toDF()
     val plan = Multimodal.frameSamplePlan(media, everyMs = 500)
