@@ -12,7 +12,11 @@ import org.apache.spark.sql.functions._
   * connected components [Kiveris et al., "Connected Components in MapReduce
   * and Beyond", SoCC'14] expressed as iterative Dataset self-joins — the
   * north_rule's named algorithm. At the reference's extreme cutoff the two
-  * are equivalent on separable data (SURVEY.md §2.7 C2 note).
+  * are equivalent on separable data (SURVEY.md §2.7 C2 note) — a claim now
+  * parity-TESTED, not just documented: ReferenceParitySpec transcribes the
+  * greedy loop and checks randomized separable instances match (partition +
+  * anchored cluster ids) and pins the one legitimate divergence (average-
+  * vs single-linkage on a non-separable chain).
   *
   * Node ids are the (string) mention ids; component id = lexicographic min
   * of the component — deterministic, unlike the reference's AtomicInteger

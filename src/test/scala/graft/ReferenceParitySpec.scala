@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Aliases, Evaluation, Reports}
+import graft.operators.{Aliases, ConnectedComponents, Decisions, Evaluation, Reports}
 import org.apache.spark.sql.functions._
 
 /** Randomized equivalence against LITERAL reimplementations of the
@@ -502,5 +502,136 @@ class ReferenceParitySpec extends SparkSpec {
       assert(d == reference(doc, off, cand),
         s"diverged on doc=[$doc] off=$off cand=[$cand]: got $d vs ${reference(doc, off, cand)}")
     }
+  }
+
+  // --------------------------------------------------------------- C2/G6 —
+  // Clusterer.pairwiseClusterNils (Clusterer.scala:30-71): the repo replaces
+  // the reference's greedy argmax average-linkage merge with connected
+  // components over the >cutoff pair graph (ConnectedComponents scaladoc,
+  // SURVEY §2.7 C2 — "equivalent on separable data"). The two tests below
+  // turn that documented claim into evidence: on SEPARABLE scores (every
+  // within-entity pair strictly above the cutoff, every cross-entity pair
+  // well below it) the outputs are identical partitions with identical
+  // KB-anchored cluster ids; on a non-separable chain they legitimately
+  // diverge (average- vs single-linkage) and the divergence is pinned.
+
+  /** Literal transcription of the reference greedy loop over an abstract
+    * symmetric score map — Clusterer.clusterSimilarity (Clusterer.scala:
+    * 73-87, the classifier + mentionPairCache) reduced to its mathematical
+    * content: similarity of two clusters = MEAN of the cross-product
+    * mention-pair scores. Merge bookkeeping (E-id survives over NIL,
+    * Clusterer.scala:56-62) and the ≥1-NIL-side pair filter (line 40) are
+    * verbatim. Returns the final clusters keyed as the reference keys them.
+    * Non-crashing domain note: the reference's maxBy throws on an empty
+    * pair list, so callers must keep ≥1 NIL-keyed cluster alive through
+    * termination — the generator below leaves entity 0 unanchored.
+    */
+  private def referenceGreedyMerge(
+      linkIds: Map[String, String], // mention id -> initial linkId (E*/NIL*)
+      score: Map[(String, String), Double],
+      cutoff: Double): Map[String, Set[String]] = {
+    def s(a: String, b: String) = score.getOrElse((a, b), score((b, a)))
+    var clusters: Map[String, Seq[String]] =
+      linkIds.toSeq.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    def allDistinctPairs[T](seq: Seq[T]): Seq[(T, T)] =
+      seq.zipWithIndex.flatMap { case (t1, i) => seq.drop(i + 1).map((t1, _)) }
+    var done = false
+    while (!done) {
+      val clusterPairs = allDistinctPairs(clusters.keys.toSeq)
+        .filter(p => p._1.startsWith("NIL") || p._2.startsWith("NIL"))
+      val sims = clusterPairs.map { case (id1, id2) =>
+        val ps = for (m1 <- clusters(id1); m2 <- clusters(id2)) yield s(m1, m2)
+        ((id1, id2), ps.sum / ps.size.toDouble)
+      }
+      val ((ms1, ms2), maxSim) = sims.maxBy(_._2)
+      if (maxSim < cutoff) done = true
+      else {
+        val merged = clusters(ms1) ++ clusters(ms2)
+        if (!ms2.startsWith("E")) clusters = clusters - ms2 + (ms1 -> merged)
+        else clusters = clusters - ms1 + (ms2 -> merged)
+      }
+    }
+    clusters.map { case (k, v) => k -> v.toSet }
+  }
+
+  /** Repo path, exactly as Pipeline.run wires it: strict-> threshold,
+    * CC over accepted edges, Decisions.assemble with KB anchors.
+    */
+  private def repoClusters(
+      linkIds: Map[String, String],
+      score: Map[(String, String), Double],
+      cutoff: Double): Map[String, Set[String]] = {
+    val scoredDf = score.toSeq.map { case ((a, b), v) => (a, b, v) }
+      .toDF("leftId", "rightId", "score")
+    val accepted = scoredDf.where($"score" > cutoff)
+    val comps = ConnectedComponents.run(
+      linkIds.keys.toSeq.sorted.toDF("id"),
+      accepted.select($"leftId".as("src"), $"rightId".as("dst")))
+    val anchors = linkIds.collect { case (m, e) if e.startsWith("E") => (m, e) }
+      .toSeq.toDF("id", "kbId")
+    Decisions.assemble(comps, accepted, Some(anchors), cutoff)
+      .select($"mentionId", $"clusterId").as[(String, String)].collect()
+      .groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSet }
+  }
+
+  test("CC + anchor assembly matches the greedy Clusterer merge on separable scores") {
+    val cutoff = 0.9999821007 // Clusterer.scala:24
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 10) {
+      val nEnt = 3 + rnd.nextInt(4)
+      var mid = 0
+      val ents = (0 until nEnt).map { _ =>
+        (0 until 1 + rnd.nextInt(4)).map { _ => val id = f"m$mid%03d"; mid += 1; id }
+      }
+      var linkIds = Map.empty[String, String]
+      ents.zipWithIndex.foreach { case (ms, e) =>
+        // ≤1 anchor per entity (two distinct E-clusters can never merge in
+        // the reference — its pair filter demands a NIL side — so the
+        // separable domain excludes multi-anchor entities); entity 0 stays
+        // unanchored to keep the reference loop off its empty-maxBy crash
+        val anchored = e != 0 && rnd.nextBoolean()
+        ms.zipWithIndex.foreach { case (m, i) =>
+          linkIds += m -> (if (anchored && i == 0) f"E$e%02d" else s"NIL$m")
+        }
+      }
+      var score = Map.empty[(String, String), Double]
+      val all = ents.flatten
+      for (i <- all.indices; j <- i + 1 until all.size) {
+        val (a, b) = (all(i), all(j))
+        val same = ents.exists(e => e.contains(a) && e.contains(b))
+        // strictly > cutoff within (both sides accept: reference merges at
+        // ≥, repo at >; exact == cutoff is the one knife-edge divergence,
+        // excluded from the domain), comfortably < cutoff across
+        val v = if (same) cutoff + 1e-9 + rnd.nextDouble() * (1.0 - cutoff - 1e-9)
+                else rnd.nextDouble() * 0.9
+        score += (a, b) -> v
+      }
+      val ref = referenceGreedyMerge(linkIds, score, cutoff)
+      val got = repoClusters(linkIds, score, cutoff)
+      assert(got.values.toSet == ref.values.toSet,
+        s"trial $trial: partitions diverged\nref=$ref\ngot=$got")
+      // anchored clusters must carry the SAME E id on both sides (NIL
+      // cluster names differ by design: reference keeps an arbitrary
+      // surviving input NIL id, repo derives NIL:<min mention id>)
+      ref.foreach { case (k, members) =>
+        if (k.startsWith("E"))
+          assert(got.get(k).contains(members),
+            s"trial $trial: E-cluster $k -> $members not keyed identically in $got")
+      }
+    }
+  }
+
+  test("greedy merge and CC diverge on a non-separable chain (pinned, documented)") {
+    val cutoff = 0.9999821007
+    val linkIds = Map("ma" -> "NILma", "mb" -> "NILmb", "mc" -> "NILmc")
+    // a-b and b-c above the cutoff, a-c far below: single-linkage (CC)
+    // closes the chain; the reference's average linkage merges (mb,mc)
+    // then sees avg({mb,mc},{ma}) = (0.99999+0.2)/2 < cutoff and stops.
+    val score = Map(("ma", "mb") -> 0.999990, ("mb", "mc") -> 0.999991,
+      ("ma", "mc") -> 0.2)
+    val ref = referenceGreedyMerge(linkIds, score, cutoff)
+    val got = repoClusters(linkIds, score, cutoff)
+    assert(ref.values.toSet == Set(Set("ma"), Set("mb", "mc")))
+    assert(got.values.toSet == Set(Set("ma", "mb", "mc")))
   }
 }
