@@ -1050,7 +1050,10 @@ object SparkEntry {
     // acceptance-gate scalars that doubled this query's sweep cost in r4
     // now live in their own 1-row `q_pipeline_gates` query with a
     // closed-form SQL oracle — the golden here pins decision DRIFT, the
-    // gates query independently proves decision QUALITY.
+    // gates query independently proves decision QUALITY, and
+    // q_pipeline_planted (below) proves the END-TO-END SEMANTICS against
+    // DuckDB arithmetic with no engine output in the loop, so this golden's
+    // role is narrowed to drift detection on the realistic corpus.
     // Checkpointed (VERDICT r5 #3 minor): the decisions come off the shared
     // fingerprint-keyed stage tables, so the gates query below reuses the
     // scored/components stages instead of running the pipeline a second
@@ -1084,6 +1087,67 @@ object SparkEntry {
         else kbRow.getLong(1).toDouble / kbRow.getLong(0)
       s.range(1).select(round(lit(f1), 4).as("gold_pair_f1"),
         round(lit(kbAcc), 4).as("kb_link_acc"))
+    }),
+    // FULL PIPELINE end-to-end with a CLOSED-FORM SQL oracle (round 6 —
+    // the last stage of the planted-construction program): identical-copy
+    // families over DISJOINT per-family vocabularies make every pairwise
+    // feature an exact constant, so blocking → scoring → threshold → CC →
+    // anchored decisions all close in DuckDB arithmetic with NO engine
+    // output in the loop. Per p_partkey % 4:
+    //   0: singleton            → NIL:ownId, confidence 0.55 (no incident edge)
+    //   1: 3 identical copies   → NIL:minId, confidence c*
+    //   2: singleton + 1 anchor → kbId, confidence from kbScore 0.955
+    //   3: 3 copies + 2 anchors → min kbId propagates to ALL members (C3
+    //      tie-break), confidence c* (edge max dominates the anchor score)
+    // where c* comes from z = bias + jw + lev + cosine + overlap + prefix =
+    // -11+6+3+9+2+1 = 10 EXACTLY (every contributing feature is 1.0 exact:
+    // JW of equal strings, lev 0, cosine of a 1-term unit vector; abbrMatch
+    // is false — names=["qNNNNN"] never contains the 1-letter initialism).
+    // The oracle reproduces F11's floor-quantized map with the same IEEE
+    // expression tree, so a ≤1-ulp cross-engine exp() difference cannot move
+    // floor(100·σ(10) − 93) off 6. The construction is ROBUST to spurious
+    // cross-family block collisions (unlike the dedup planteds): a stray
+    // candidate pair still scores σ(z≤−11+6·jw+3·lev+1) « 0.93 — disjoint
+    // names and vocabularies keep cosine 0 and namesOverlap false — so no
+    // edge forms and decisions are untouched. Families are ≤ 3 members with
+    // 6-char unique name-prefix keys (no overflow, no salting path).
+    "q_pipeline_planted" -> ((s, d) => {
+      import s.implicits._
+      val fam = t(s, d, "part").select(
+        $"p_partkey",
+        concat(lit("q"), lpad($"p_partkey".cast("string"), 5, "0")).as("name"),
+        ($"p_partkey" % 4).as("r"))
+      val members = fam.select($"p_partkey", $"name", $"r",
+        explode(sequence(lit(0),
+          when($"r" === 1 || $"r" === 3, 2).otherwise(0))).as("i"))
+      // content = the family token repeated 8× (≥ shingleK): ONE distinct
+      // term per doc → vecW = [w/w] = [1.0] exactly → cosine 1.0 exact
+      val files = members.select(
+        concat(lit("org/"), $"name").as("repo"),
+        concat(lit("f"), $"i".cast("string")).as("path"),
+        lit("c0").as("commit"),
+        lit("scala").as("lang"),
+        array_join(array_repeat(
+          concat(lit("t"), lpad($"p_partkey".cast("string"), 5, "0")), 8),
+          " ").as("content"))
+      val kbBase = concat(lit("E"), lpad($"p_partkey".cast("string"), 6, "0"))
+      // directly-passed anchors exercise Decisions.assemble's KB semantics
+      // (min-kbId tie-break, kbScore in the incident max) in closed form;
+      // KbLink's own scoring is independently SQL-pinned by q_kb_link
+      val anchors = members
+        .where(($"r" === 2 && $"i" === 0) || ($"r" === 3 && $"i" <= 1))
+        .select(
+          concat(lit("org/"), $"name", lit("/f"), $"i".cast("string"),
+            lit("@c0")).as("id"),
+          when($"r" === 2, kbBase)
+            .otherwise(concat(kbBase,
+              when($"i" === 0, lit("9")).otherwise(lit("5")))).as("kbId"),
+          lit(0.955).as("kbScore"))
+      val res = Pipeline.run(s, files, Map.empty, kbAnchors = Some(anchors))
+      res.decisions.select($"mentionId".as("mention_id"),
+          $"clusterId".as("cluster_id"),
+          round($"confidence", 6).as("confidence"))
+        .orderBy($"mention_id")
     }),
     // B1 KB half — mention→KB candidate linking (the reference flagship,
     // RunKBPEntityLinkerSystem.scala:56-128): mentions from part names, KB =
@@ -1845,6 +1909,39 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS n_vals
         |FROM range(256) t(i) ORDER BY id""".stripMargin,
     "q_pipeline_decisions" -> goldenSql("q_pipeline_decisions"),
+    // closed-form reconstruction of the planted end-to-end pipeline (see the
+    // query comment): family membership and anchors replay the same %4
+    // regimes; confidence mirrors Decisions.confidence's exact IEEE
+    // expression tree — step = (100-80)/((1-0.93)*100), score either σ(10)
+    // (identical-copy edge), 0.955 (lone anchor), or 0 (singleton) — so the
+    // floor quantization lands identically in both engines
+    "q_pipeline_planted" ->
+      """WITH fam AS (
+        |  SELECT p_partkey AS pk,
+        |         'q' || lpad(CAST(p_partkey AS VARCHAR), 5, '0') AS name,
+        |         p_partkey % 4 AS r
+        |  FROM part
+        |), members AS (
+        |  SELECT pk, name, r,
+        |    unnest(range(0, CASE WHEN r IN (1,3) THEN 3 ELSE 1 END)) AS i
+        |  FROM fam
+        |)
+        |SELECT
+        |  'org/' || name || '/f' || i || '@c0' AS mention_id,
+        |  CASE
+        |    WHEN r = 0 THEN 'NIL:org/' || name || '/f' || i || '@c0'
+        |    WHEN r = 1 THEN 'NIL:org/' || name || '/f0@c0'
+        |    WHEN r = 2 THEN 'E' || lpad(CAST(pk AS VARCHAR), 6, '0')
+        |    ELSE 'E' || lpad(CAST(pk AS VARCHAR), 6, '0') || '5'
+        |  END AS cluster_id,
+        |  round(CASE
+        |    WHEN r = 0 THEN 0.55
+        |    WHEN r = 2 THEN (floor(0.955*100.0 - 0.93*100.0)
+        |      * ((100.0-80.0)/((1.0-0.93)*100.0)) + 80.0)/100.0
+        |    ELSE (floor((1.0/(1.0+exp(-10.0)))*100.0 - 0.93*100.0)
+        |      * ((100.0-80.0)/((1.0-0.93)*100.0)) + 80.0)/100.0
+        |  END, 6) AS confidence
+        |FROM members ORDER BY mention_id""".stripMargin,
     // the gates close at exactly 1.0 by the synthetic corpus's construction
     // (PipelineSpec asserts the same thresholds); a pipeline regression
     // surfaces here as a hash mismatch against these literals

@@ -135,4 +135,45 @@ class PipelineSpec extends SparkSpec {
       x.mentions.unpersist(); x.scored.unpersist(); x.components.unpersist()
     }
   }
+
+  test("q_pipeline_planted matches the closed form (all four regimes)") {
+    // independent reconstruction of the planted end-to-end oracle in Scala
+    // (same arithmetic the DuckDB SQL performs — NOT engine output): family
+    // regimes per p_partkey % 4, F11's floor-quantized confidence with
+    // score σ(10) / 0.955 / 0, HALF_UP 6-decimal rounding like Spark round()
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_pipeline_planted")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val pks = spark.read.parquet(s"$sf/part.parquet")
+      .select($"p_partkey".cast("long")).as[Long].collect().sorted
+    val step = (100.0 - 80.0) / ((1.0 - 0.93) * 100.0)
+    def conf(score: Double): Double =
+      if (score > 0.93) (math.floor(score * 100.0 - 0.93 * 100.0) * step + 80.0) / 100.0
+      else 0.55
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cStar = r6(conf(1.0 / (1.0 + math.exp(-10.0))))
+    val cAnchor = r6(conf(0.955))
+    assert(cStar == 0.971429 && cAnchor == 0.857143) // pins the constants
+    val expected = pks.flatMap { pk =>
+      val name = f"q$pk%05d"
+      val r = pk % 4
+      val k = if (r == 1 || r == 3) 3 else 1
+      val kbBase = f"E$pk%06d"
+      (0 until k).map { i =>
+        val id = s"org/$name/f$i@c0"
+        val cluster = r match {
+          case 0 => s"NIL:$id"
+          case 1 => s"NIL:org/$name/f0@c0"
+          case 2 => kbBase
+          case _ => kbBase + "5"
+        }
+        val c = r match { case 0 => 0.55; case 2 => cAnchor; case _ => cStar }
+        (id, cluster, c)
+      }
+    }
+    assert(got.length == expected.length,
+      s"row count ${got.length} != expected ${expected.length}")
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+  }
 }
