@@ -1144,10 +1144,17 @@ object SparkEntry {
               when($"i" === 0, lit("9")).otherwise(lit("5")))).as("kbId"),
           lit(0.955).as("kbScore"))
       val res = Pipeline.run(s, files, Map.empty, kbAnchors = Some(anchors))
-      res.decisions.select($"mentionId".as("mention_id"),
+      val out = res.decisions.select($"mentionId".as("mention_id"),
           $"clusterId".as("cluster_id"),
           round($"confidence", 6).as("confidence"))
         .orderBy($"mention_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize, then release the pipeline's internal caches:
+      // run()'s mentions/scored/components persists would otherwise sit in
+      // the block manager for the REST of a Verify/Bench sweep (the bench's
+      // own pipelineThroughput unpersists the same three for the same reason)
+      res.mentions.unpersist(); res.scored.unpersist(); res.components.unpersist()
+      out
     }),
     // B1 KB half — mention→KB candidate linking (the reference flagship,
     // RunKBPEntityLinkerSystem.scala:56-128): mentions from part names, KB =
