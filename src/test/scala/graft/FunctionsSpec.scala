@@ -83,4 +83,36 @@ class FunctionsSpec extends SparkSpec {
       assert(math.abs(c - ref(s)) < 1e-9, s"score=$s got=$c want=${ref(s)}")
     }
   }
+
+  test("signature drift pins: minhash bands / hyperplane sig / simhash exact values") {
+    // review r6: the planted ANN/blocking oracles are INVARIANT to the
+    // signature functions themselves (identical or parallel vectors share a
+    // bucket under ANY deterministic signature), so seed / bit-order /
+    // banding / weight-derivation drift cannot fail them — it is pinned
+    // HERE instead, as exact output values on fixed inputs. A deliberate
+    // signature change must update these literals (and invalidates
+    // cross-round comparability of block keys — see Mentions.withBlockKeys).
+    val df = spark.range(1)
+    val mb = df.select(graft.functions.VecFunctions
+        .minhash_bands(typedlit(Seq(1L, 2L, 3L)), 32, 16, 42L).as("b"))
+      .head.getSeq[Long](0)
+    assert(mb == Seq(-2569732219986722342L, 5216023830905175542L,
+      -314624701663383936L, 3777864578504640940L, 3651893805533619867L,
+      -3237696148506739582L, 5406929370569672698L, 5069083951008136707L,
+      4759578107192813882L, -2937527737056187298L, 5816301239224731532L,
+      2256147535288906695L, 4495250372419796650L, -8143432167961650251L,
+      -8276550322158426841L, -2769264594999020613L), s"minhash bands drifted: $mb")
+    val hs1 = df.select(graft.operators.SimilaritySearch
+        .hyperplaneSig(typedlit(Seq(1.0, -2.0, 3.0)), 4, 42L).as("s"))
+      .head.getLong(0)
+    assert(hs1 == 12L, s"hyperplane sig (4 planes, seed 42) drifted: $hs1")
+    val hs2 = df.select(graft.operators.SimilaritySearch
+        .hyperplaneSig(typedlit(Seq(0.5, 0.5, -1.0)), 16, 1042L).as("s"))
+      .head.getLong(0)
+    assert(hs2 == 58109L, s"hyperplane sig (16 planes, seed 1042) drifted: $hs2")
+    val sh = df.select(graft.functions.SimHash64.simhash(
+        array(expr("xxhash64('a')"), expr("xxhash64('b')"))).as("s"))
+      .head.getLong(0)
+    assert(sh == -9205289395534126912L, s"simhash64 drifted: $sh")
+  }
 }
