@@ -699,6 +699,34 @@ object SparkEntry {
           round($"nameAmbiguity", 6).as("name_ambiguity"))
         .orderBy($"id")
     }),
+    // F12 nameAmbiguity, BOTH build paths against one planted construction
+    // (review r6 — the ADVICE r5 scale-path suggestion made a product
+    // surface): per partkey the name "n<pk>a n<pk>b" (tokens carry the
+    // partkey, so cross-family substring or token hits are impossible) gets
+    // two KB titles — "the <name>" (word-aligned phrase => counts in BOTH
+    // forms) and "x<name>" (raw substring only => counts ONLY in the BNLJ
+    // form). So every row closes at amb_bnlj = ln(3), amb_tok = ln(2),
+    // pinning the two forms' documented divergence in the driver board
+    // while both builds run live (BNLJ containment join vs the shuffle
+    // equi-join on first token + slice phrase check).
+    "q_name_ambiguity" -> ((s, d) => {
+      import s.implicits._
+      val p = t(s, d, "part").select($"p_partkey")
+      val pk = $"p_partkey".cast("string")
+      val nm = concat(lit("n"), pk, lit("a n"), pk, lit("b"))
+      val mentions = p.select(nm.as("entityString"))
+      val kb = p.select(explode(array(
+        concat(lit("the "), nm), concat(lit("x"), nm))).as("kbName"))
+      val bnlj = KbLink.nameAmbiguity(mentions, kb)
+        .withColumnRenamed("nameAmbiguity", "amb_bnlj")
+      val tok = KbLink.nameAmbiguityTokenized(mentions, kb)
+        .withColumnRenamed("nameAmbiguity", "amb_tok")
+      bnlj.join(tok, Seq("nameLower"))
+        .select($"nameLower".as("name_lower"),
+          round($"amb_bnlj", 6).as("amb_bnlj"),
+          round($"amb_tok", 6).as("amb_tok"))
+        .orderBy($"name_lower")
+    }),
     // S6 sidecar ingestion: coref + NER side tables left-joined onto
     // mentions with the reference's None/empty defaults (flattened to
     // scalar columns for the driver compare)
@@ -1772,6 +1800,16 @@ object SparkEntry {
         |              ELSE upper(w[1]) || lower(w[2:]) END), ' ')
         |    AS expanded_cased
         |FROM exp ORDER BY id""".stripMargin,
+    // closed-form reconstruction of the planted name-ambiguity pair (see
+    // the query comment): by construction every name matches both its
+    // titles as substrings (ln(1+2)) but only the "the "-prefixed one as a
+    // word-aligned phrase (ln(1+1))
+    "q_name_ambiguity" ->
+      """SELECT 'n' || CAST(p_partkey AS VARCHAR) || 'a n'
+        |         || CAST(p_partkey AS VARCHAR) || 'b' AS name_lower,
+        |  round(ln(3.0), 6) AS amb_bnlj,
+        |  round(ln(2.0), 6) AS amb_tok
+        |FROM part ORDER BY name_lower""".stripMargin,
     "q_dormant_features" ->
       """WITH base AS (
         |  SELECT p_partkey AS id, string_split(p_name, ' ')[1] AS name,

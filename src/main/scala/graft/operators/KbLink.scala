@@ -417,6 +417,56 @@ object KbLink {
       .agg(log(lit(1.0) + count(col("titleLower"))).as("nameAmbiguity"))
   }
 
+  /** The SCALE PATH for [[nameAmbiguity]] (ADVICE r5 follow-through): when
+    * distinct names × KB titles outgrows a broadcast nested-loop build, this
+    * variant joins on an EQUI key — the name's first token against the KB's
+    * exploded distinct title words — as a plain shuffle hash join (neither
+    * side needs to broadcast), then verifies token-aligned phrase
+    * containment on the joined rows only. Same output shape
+    * (nameLower, nameAmbiguity = ln(1 + #matching titles)), directly
+    * passable to `link(..., ambiguity = Some(...))`.
+    *
+    * DELIBERATE semantic divergence (spec-pinned): counts titles containing
+    * the name as a contiguous WORD-ALIGNED token sequence, where the BNLJ
+    * form counts raw substring containment — "apache spark" inside "apache
+    * sparkle" or "xapache spark" counts there but not here. Token-aligned is
+    * the tighter (and arguably truer) ambiguity notion; at the scales that
+    * force this path, sub-word hits are noise.
+    *
+    * Plan notes: each (name, title) pair joins AT MOST ONCE — the title side
+    * explodes `array_distinct` of its tokens, so a repeated word cannot
+    * double-count. The phrase check (`exists` over slice equality) is a
+    * higher-order CodegenFallback expression, acceptable on the post-join
+    * rows exactly like the P4 context filter. A pathologically hot first
+    * token ("the …" names) concentrates its fan-out on one key; names are
+    * entity surface forms (not prose), so the natural key skew is the same
+    * Zipf the blocking stage already tolerates — if a corpus proves
+    * otherwise, key on the name's globally rarest token (needs an offline
+    * word-df pass) and keep everything else.
+    */
+  def nameAmbiguityTokenized(mentions: DataFrame, kb: DataFrame): DataFrame = {
+    val names = mentions.select(lower(col("entityString")).as("nameLower")).distinct()
+      .withColumn("nameToks", split(col("nameLower"), " "))
+      .withColumn("w0", element_at(col("nameToks"), 1))
+    val titleWords = kb.select(lower(col("kbName")).as("titleLower")).distinct()
+      .withColumn("titleToks", split(col("titleLower"), " "))
+      .select(col("titleToks"),
+        explode(array_distinct(col("titleToks"))).as("w0"))
+    val phraseAt = (i: Column) =>
+      slice(col("titleToks"), i, size(col("nameToks"))) === col("nameToks")
+    val hit = coalesce(
+      when(size(col("titleToks")) >= size(col("nameToks")),
+        exists(sequence(lit(1),
+          size(col("titleToks")) - size(col("nameToks")) + 1), phraseAt))
+        .otherwise(lit(false)),
+      lit(false))
+    names.join(titleWords, Seq("w0"), "left")
+      .withColumn("hit", hit)
+      .groupBy(col("nameLower"))
+      .agg(log(lit(1.0) + sum(when(col("hit"), 1L).otherwise(0L)))
+        .as("nameAmbiguity"))
+  }
+
   /** F12 — the reference's DORMANT link-feature set (LinkFeatures.scala:
     * 24-173; the active set is `Seq(candidateScore, docSimScore)` at :175,
     * mirrored by `link()`'s z features). Exposed for parity and calibration:

@@ -162,4 +162,27 @@ class KbLinkSpec extends SparkSpec {
     assert(accCal > accDefault, s"calibrated acc $accCal !> default $accDefault")
     info(f"kb_link_acc default=$accDefault%.2f calibrated=$accCal%.2f")
   }
+
+  test("nameAmbiguityTokenized: agrees on word-aligned hits, pins the subword divergence") {
+    val mentions = Seq("Apache Spark", "Unmatched Thing").toDF("entityString")
+    val kb = Seq(
+      "the apache spark project", // word-aligned phrase: BOTH forms count
+      "apache sparkle",           // substring via prefix: BNLJ only
+      "xapache spark",            // substring, first token misaligned: BNLJ only
+      "apache",                   // shorter than the name: NEITHER (guard path)
+      "spark apache"              // both words present, wrong order: NEITHER
+    ).toDF("kbName")
+    def amb(df: org.apache.spark.sql.DataFrame) = df
+      .as[(String, Double)].collect().toMap
+    val bnlj = amb(KbLink.nameAmbiguity(mentions, kb))
+    val tok = amb(KbLink.nameAmbiguityTokenized(mentions, kb))
+    assert(math.abs(bnlj("apache spark") - math.log(1.0 + 3)) < 1e-12, bnlj)
+    assert(math.abs(tok("apache spark") - math.log(1.0 + 1)) < 1e-12, tok)
+    // every name present in BOTH outputs even with zero hits (left joins)
+    assert(bnlj("unmatched thing") == 0.0 && tok("unmatched thing") == 0.0)
+    // a repeated word in one title must not double-count (array_distinct)
+    val kbDup = Seq("apache spark apache spark").toDF("kbName")
+    val tokDup = amb(KbLink.nameAmbiguityTokenized(mentions, kbDup))
+    assert(math.abs(tokDup("apache spark") - math.log(2.0)) < 1e-12, tokDup)
+  }
 }
