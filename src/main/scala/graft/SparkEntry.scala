@@ -727,6 +727,39 @@ object SparkEntry {
           round($"amb_tok", 6).as("amb_tok"))
         .orderBy($"name_lower")
     }),
+    // S9 submission sink, DRIVER-CHECKED round trip (review r6 — S9 was
+    // spec-only): a planted decisions frame goes through the REAL
+    // writeSubmissionTsv (the default multi-part ordered path, i.e. the
+    // scale-safe configuration that replaced r5's coalesce(1)), the written
+    // text is read back and re-split on tabs, and the oracle reconstructs
+    // every line — id layout, cluster-id regimes, and the %1.2f confidence
+    // format — in closed form. Confidence literals (0.55 / 0.87) sit away
+    // from the two-decimal rounding boundary, so Java Formatter HALF_UP vs
+    // DuckDB string literals cannot disagree. The read-back re-sorts by
+    // mention_id, so the check pins CONTENT + FORMAT; the cross-part-file
+    // ORDER guarantee stays pinned by the OperatorsSpec sink tests.
+    "q_submission_sink" -> ((s, d) => {
+      import s.implicits._
+      val p = t(s, d, "part").select($"p_partkey")
+      val mid = concat(lit("m"), lpad($"p_partkey".cast("string"), 6, "0"))
+      val decisions = p.select(
+        mid.as("mentionId"),
+        when($"p_partkey" % 3 === 0,
+          concat(lit("E"), lpad($"p_partkey".cast("string"), 6, "0")))
+          .otherwise(concat(lit("NIL:"), mid)).as("clusterId"),
+        when($"p_partkey" % 2 === 0, lit(0.55)).otherwise(lit(0.87))
+          .as("confidence"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-sink-q")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        Bench.deleteRecursivelyNoFollow(dir.toFile)))
+      Reports.writeSubmissionTsv(decisions, dir.toString)
+      s.read.text(dir.toString)
+        .select(split($"value", "\t").as("f"))
+        .select($"f".getItem(0).as("mention_id"),
+          $"f".getItem(1).as("cluster_id"),
+          $"f".getItem(2).as("conf_str"))
+        .orderBy($"mention_id")
+    }),
     // S6 sidecar ingestion: coref + NER side tables left-joined onto
     // mentions with the reference's None/empty defaults (flattened to
     // scalar columns for the driver compare)
@@ -1800,6 +1833,17 @@ object SparkEntry {
         |              ELSE upper(w[1]) || lower(w[2:]) END), ' ')
         |    AS expanded_cased
         |FROM exp ORDER BY id""".stripMargin,
+    // closed-form reconstruction of the submission sink's planted round
+    // trip (see the query comment): id layout, %3 cluster regimes, and the
+    // two-decimal confidence strings the reference's %1.2f Formatter emits
+    "q_submission_sink" ->
+      """SELECT 'm' || lpad(CAST(p_partkey AS VARCHAR), 6, '0') AS mention_id,
+        |  CASE WHEN p_partkey % 3 = 0
+        |       THEN 'E' || lpad(CAST(p_partkey AS VARCHAR), 6, '0')
+        |       ELSE 'NIL:m' || lpad(CAST(p_partkey AS VARCHAR), 6, '0')
+        |  END AS cluster_id,
+        |  CASE WHEN p_partkey % 2 = 0 THEN '0.55' ELSE '0.87' END AS conf_str
+        |FROM part ORDER BY mention_id""".stripMargin,
     // closed-form reconstruction of the planted name-ambiguity pair (see
     // the query comment): by construction every name matches both its
     // titles as substrings (ln(1+2)) but only the "the "-prefixed one as a
