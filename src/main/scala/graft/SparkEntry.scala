@@ -1118,6 +1118,64 @@ object SparkEntry {
           $"nPairs".as("n_pairs"))
         .orderBy($"c1", $"c2")
     }),
+    // F3 standardContextSim averaging, DRIVER-CHECKED (review r6 — was
+    // spec-only): with a wide window present, the scoring cosine feature is
+    // the MEAN of the two window sims (MentionPairFeatures.scala:115-119).
+    // Planted pairs share an identical single-term std vector (std sim 1.0
+    // exact) while the wide vectors are identical for even partkeys and
+    // disjoint for odd ones, so the feature closes at exactly 1.0 / 0.5
+    // through the REAL Scoring.score path (two equi-joins + the
+    // sorted_vec_dot kernel + the (std+wide)/2 average).
+    "q_context_avg" -> ((s, d) => {
+      import s.implicits._
+      val p = t(s, d, "part").select($"p_partkey")
+      val pk = $"p_partkey".cast("string")
+      def side(tag: String) = p.select(
+        concat(lit(tag), pk).as("id"),
+        lit("ent x").as("entityString"),
+        array(lit("ent x")).as("names"),
+        array(lit("ex")).as("abbrs"),
+        array(xxhash64(concat(lit("std"), pk))).as("vecH"),
+        array(lit(1.0)).as("vecW"),
+        array(when($"p_partkey" % 2 === 0, xxhash64(concat(lit("w"), pk)))
+          .otherwise(xxhash64(concat(lit(tag), lit("w"), pk)))).as("wideVecH"),
+        array(lit(1.0)).as("wideVecW"))
+      val mentions = side("l").unionByName(side("r"))
+      val pairs = p.select(concat(lit("l"), pk).as("leftId"),
+        concat(lit("r"), pk).as("rightId"), lit("b").as("blockKey"))
+      Scoring.score(pairs, mentions)
+        .select(substring($"leftId", 2, 18).cast("long").as("p_partkey"),
+          round($"cosine", 6).as("ctx_sim"))
+        .orderBy($"p_partkey")
+    }),
+    // G1/S10 LR train + literal-weight scoring, DRIVER-CHECKED (review r6 —
+    // both were spec-only): the reference's exact training shape — a ≤3k-row
+    // DRIVER-SIDE sample (MentionPairTrainingData.scala:45-53; here the
+    // first 1000 partkeys), deterministic full-batch gradient descent
+    // (LogisticTrainer.fit, fixed iters/lr), weights shipped back into the
+    // plan as LITERALS (S10: the model artifact is literals, not a file) —
+    // then scored distributedly over a perfectly separable planted feature
+    // (x = ±1 by label), where 500 iterations provably put the decision
+    // boundary between the classes, so every prediction closes in SQL as
+    // label itself and `correct` as TRUE. A fit, shipping, or scoring bug
+    // breaks the closed form loudly; booleans avoid any float compare.
+    "q_lr_train" -> ((s, d) => {
+      import s.implicits._
+      val labeled = t(s, d, "part").select($"p_partkey")
+        .where($"p_partkey" < 1000)
+        .select($"p_partkey", ($"p_partkey" % 2 === 1).as("label"))
+      val ex = labeled.orderBy($"p_partkey").collect().map { r =>
+        val lab = r.getBoolean(1)
+        LogisticTrainer.Example(Array(if (lab) 1.0 else -1.0), if (lab) 1.0 else 0.0)
+      }
+      val w = LogisticTrainer.fit(ex)
+      val x = when($"p_partkey" % 2 === 1, 1.0).otherwise(-1.0)
+      val z = lit(w(0)) + lit(w(1)) * x
+      labeled
+        .withColumn("pred", lit(1.0) / (lit(1.0) + exp(-z)) > 0.5)
+        .withColumn("correct", $"label" === $"pred")
+        .orderBy($"p_partkey")
+    }),
     // G11 threshold finder (LinkClassifier.scala:36-86): per-fold max-F1
     // threshold over ranked scores (deterministic fold = id % 10)
     "q_threshold" -> ((s, d) => {
@@ -1833,6 +1891,18 @@ object SparkEntry {
         |              ELSE upper(w[1]) || lower(w[2:]) END), ' ')
         |    AS expanded_cased
         |FROM exp ORDER BY id""".stripMargin,
+    // the F3 average closes at (1+1)/2 or (1+0)/2 by the planted wide
+    // vectors (see the query comment)
+    "q_context_avg" ->
+      """SELECT p_partkey,
+        |  round(CASE WHEN p_partkey % 2 = 0 THEN 1.0 ELSE 0.5 END, 6) AS ctx_sim
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    // the planted LR sample is perfectly separable, so the fitted model's
+    // predictions close as the labels themselves (see the query comment)
+    "q_lr_train" ->
+      """SELECT p_partkey, p_partkey % 2 = 1 AS label,
+        |  p_partkey % 2 = 1 AS pred, TRUE AS correct
+        |FROM part WHERE p_partkey < 1000 ORDER BY p_partkey""".stripMargin,
     // closed-form reconstruction of the submission sink's planted round
     // trip (see the query comment): id layout, %3 cluster regimes, and the
     // two-decimal confidence strings the reference's %1.2f Formatter emits
