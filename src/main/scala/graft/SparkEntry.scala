@@ -1118,6 +1118,83 @@ object SparkEntry {
           $"nPairs".as("n_pairs"))
         .orderBy($"c1", $"c2")
     }),
+    // A6 searchCoreferences, DRIVER-CHECKED (review r6 — was spec-only):
+    // planted docs/NE-sidecar rows close all four rule branches per
+    // p_partkey % 4 —
+    //   0: a qualifying NE (in-doc, interval < 50 chars, longer than the
+    //      name, comma-free) => picked: "n<pk> corp"
+    //   1: same NE but the covering interval is >= 50 chars (doc padded)
+    //      => interval gate rejects => fallback to the name
+    //   2: the NE qualifies but " in " -> ", " rewriting introduces a comma
+    //      => eligibility filter rejects => name (pins the rewrite/filter
+    //      interplay and its order)
+    //   3: two qualifying NEs => SHORTEST wins: "n<pk> co"
+    "q_coref_search" -> ((s, d) => {
+      import s.implicits._
+      val p = t(s, d, "part").select($"p_partkey")
+      val pk = $"p_partkey".cast("string")
+      val r = $"p_partkey" % 4
+      val name = concat(lit("n"), pk)
+      val ne1 = when(r === 2, concat(name, lit(" in q")))
+        .otherwise(concat(name, lit(" corp")))
+      val nes = when(r === 3,
+          array(concat(name, lit(" corpx")), concat(name, lit(" co"))))
+        .otherwise(array(ne1))
+      val doc = concat(array_join(nes, " "),
+        when(r === 1, lit(" " + "z" * 60)).otherwise(lit("")))
+      val intervals = array(struct(
+        lit(0).cast("int").as("start"),
+        (length(doc) - 1).cast("int").as("end")))
+      p.select($"p_partkey",
+          Aliases.searchCoreferences(doc, name, nes, intervals).as("expanded"))
+        .orderBy($"p_partkey")
+    }),
+    // C4 type-conditional reroute, DRIVER-CHECKED (review r6 — was
+    // spec-only): planted anchors + a typed KB close typeReroute's four
+    // outcomes per p_partkey % 4 —
+    //   0: gated + fromType anchor + an exact-title toType entity exists
+    //      => rerouted to ET<pk> at the reference's fixed confidence 0.7
+    //   1: NOT gated => EF<pk> anchor kept untouched
+    //   2: gated + fromType but NO toType candidate can form (the "c" name
+    //      alphabet shares no exact or prefix block key with any toType
+    //      title) => anchor dropped, row absent (fresh NIL downstream)
+    //   3: gated but the anchor is ALREADY toType => kept untouched
+    // Cross-partkey fuzzy candidates can arise between same-alphabet names
+    // sharing a prefix key, but link()'s top-1 ranks exactTitle first, so a
+    // mention whose own exact toType title exists (every r0/r3 name) always
+    // reroutes to ITSELF — the construction is exact-title-shielded, not
+    // z-threshold-dependent.
+    "q_type_reroute" -> ((s, d) => {
+      import s.implicits._
+      val p = t(s, d, "part").select($"p_partkey")
+      val pk = $"p_partkey".cast("string")
+      val r = $"p_partkey" % 4
+      val alpha = when(r === 0, "a").when(r === 1, "b")
+        .when(r === 2, "c").otherwise("d")
+      val name = concat(alpha, pk, lit("t"))
+      val mentions = p.select(
+        concat(lit("m"), pk).as("id"),
+        name.as("entityString"),
+        array(name).as("names"),
+        array(Mentions.initialism(name)).as("abbrs"),
+        (r === 0 || r === 2).as("sport"))
+      val ef = p.where(r =!= 3).select(
+        concat(lit("EF"), pk).as("kbId"), name.as("kbName"),
+        lit("from").as("kbType"))
+      val et = p.where(r === 0 || r === 3).select(
+        concat(lit("ET"), pk).as("kbId"), name.as("kbName"),
+        lit("to").as("kbType"))
+      val kb = ef.unionByName(et)
+      val anchors = p.select(
+        concat(lit("m"), pk).as("id"),
+        when(r === 3, concat(lit("ET"), pk))
+          .otherwise(concat(lit("EF"), pk)).as("kbId"),
+        lit(0.9).as("kbScore"))
+      KbLink.typeReroute(mentions, anchors, kb, col("sport"), "from", "to")
+        .select($"id", $"kbId",
+          round(coalesce($"kbConfidence", lit(0.0)), 6).as("conf"))
+        .orderBy($"id")
+    }),
     // F3 standardContextSim averaging, DRIVER-CHECKED (review r6 — was
     // spec-only): with a wide window present, the scoring cosine feature is
     // the MEAN of the two window sims (MentionPairFeatures.scala:115-119).
@@ -1891,6 +1968,23 @@ object SparkEntry {
         |              ELSE upper(w[1]) || lower(w[2:]) END), ' ')
         |    AS expanded_cased
         |FROM exp ORDER BY id""".stripMargin,
+    // the four A6 branches close in SQL (see the query comment)
+    "q_coref_search" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_partkey % 4 = 0 THEN 'n' || CAST(p_partkey AS VARCHAR) || ' corp'
+        |       WHEN p_partkey % 4 = 3 THEN 'n' || CAST(p_partkey AS VARCHAR) || ' co'
+        |       ELSE 'n' || CAST(p_partkey AS VARCHAR)
+        |  END AS expanded
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    // the reroute regimes close in SQL: rerouted (0.7), kept (0.0), dropped
+    // (absent), kept-toType (0.0) — see the query comment
+    "q_type_reroute" ->
+      """SELECT 'm' || CAST(p_partkey AS VARCHAR) AS id,
+        |  CASE WHEN p_partkey % 4 IN (0, 3)
+        |       THEN 'ET' || CAST(p_partkey AS VARCHAR)
+        |       ELSE 'EF' || CAST(p_partkey AS VARCHAR) END AS kbId,
+        |  CASE WHEN p_partkey % 4 = 0 THEN 0.7 ELSE 0.0 END AS conf
+        |FROM part WHERE p_partkey % 4 <> 2 ORDER BY id""".stripMargin,
     // the F3 average closes at (1+1)/2 or (1+0)/2 by the planted wide
     // vectors (see the query comment)
     "q_context_avg" ->
