@@ -448,7 +448,13 @@ object KbLink {
     val names = mentions.select(lower(col("entityString")).as("nameLower")).distinct()
       .withColumn("nameToks", split(col("nameLower"), " "))
       .withColumn("w0", element_at(col("nameToks"), 1))
-    val titleWords = kb.select(lower(col("kbName")).as("titleLower")).distinct()
+    // one exploded row per (KB ROW, distinct word) — array_distinct makes a
+    // repeated word inside one title join at most once, and deliberately NO
+    // title-level dedup: the BNLJ form counts every KB row, so two entities
+    // sharing the title "apache spark" must contribute 2 here too (review
+    // r6: an earlier .distinct() silently undercounted exactly the
+    // most-ambiguous names; spec-pinned with a duplicate-title fixture)
+    val titleWords = kb.select(lower(col("kbName")).as("titleLower"))
       .withColumn("titleToks", split(col("titleLower"), " "))
       .select(col("titleToks"),
         explode(array_distinct(col("titleToks"))).as("w0"))

@@ -184,5 +184,13 @@ class KbLinkSpec extends SparkSpec {
     val kbDup = Seq("apache spark apache spark").toDF("kbName")
     val tokDup = amb(KbLink.nameAmbiguityTokenized(mentions, kbDup))
     assert(math.abs(tokDup("apache spark") - math.log(2.0)) < 1e-12, tokDup)
+    // ...but two KB ROWS sharing one title are two entities and must count
+    // twice, matching the BNLJ form (review r6: a title-level distinct
+    // undercounted exactly the most-ambiguous names)
+    val kbTwo = Seq("apache spark", "apache spark").toDF("kbName")
+    assert(math.abs(amb(KbLink.nameAmbiguityTokenized(mentions, kbTwo))("apache spark")
+      - math.log(3.0)) < 1e-12)
+    assert(math.abs(amb(KbLink.nameAmbiguity(mentions, kbTwo))("apache spark")
+      - math.log(3.0)) < 1e-12)
   }
 }
