@@ -434,9 +434,16 @@ object SparkEntry {
     // cross-multiplication so the filter is exact, no float boundary)
     "q_tf_cosine" -> ((s, d) => {
       import s.implicits._
-      val tok = t(s, d, "documents")
+      // tok materialized once (r7, guide §2.4/§5): the un-cut plan
+      // re-computed the explode+aggregate subtree FOUR times (left join
+      // side, right join side, and the norm2 build twice — plan audit in
+      // plans/r07/q_tf_cosine_before.txt shows 4 parquet scans each with
+      // its own Generate + two-level HashAggregate); the cut runs it once
+      // and every consumer reads the materialized (doc_id, source, term,
+      // tf) rows. Values are unchanged — same aggregation tree.
+      val tok = graft.plans.Lineage.cut(t(s, d, "documents")
         .select($"doc_id", $"source", explode(split($"text", " ")).as("term"))
-        .groupBy($"doc_id", $"source", $"term").agg(count(lit(1)).as("tf"))
+        .groupBy($"doc_id", $"source", $"term").agg(count(lit(1)).as("tf")))
       val norm2 = tok.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("n2"))
       val l = tok.select($"source", $"term", $"doc_id".as("l_id"), $"tf".as("l_tf"))
       val r = tok.select($"source", $"term", $"doc_id".as("r_id"), $"tf".as("r_tf"))
@@ -1043,12 +1050,21 @@ object SparkEntry {
     "q_minhash_blocks" -> ((s, d) => {
       import s.implicits._
       val conf = GraftConf()
-      val docs = plantedDupCorpus(s, d, "k")
+      // (id, bands) materialized before the posexplode (r7, guide §1.2
+      // per-task work): un-cut, InferFiltersFromGenerate pushes a
+      // `size(bands) > 0` filter below the projection and CollapseProject
+      // re-inlines the ENTIRE tokenize+shingle+minhash expression into the
+      // filter — the whole signature computation ran twice per row (and the
+      // tokenize sub-expression several times within each evaluation; see
+      // plans/r07/q_minhash_blocks_before.txt operators (2)/(6)). The cut
+      // computes bands exactly once per row. Values unchanged.
+      val docs = graft.plans.Lineage.cut(plantedDupCorpus(s, d, "k")
         .withColumn("tokens", Mentions.contentTokens($"text"))
         .withColumn("bands",
           graft.functions.VecFunctions.minhash_bands(
             Mentions.shingleHashes($"tokens", conf.shingleK),
             conf.minHashes, conf.bands, conf.seed))
+        .select($"id", $"bands"))
       docs.select($"id", posexplode($"bands"))
         .select($"id", concat($"pos", lit(":"), $"col").as("band"))
         .groupBy($"band").agg(count(lit(1)).as("n"), min($"id").as("g"))
@@ -1060,10 +1076,13 @@ object SparkEntry {
     // connected components on the documents near-dup graph (C2)
     "q_connected_components" -> ((s, d) => {
       import s.implicits._
-      val docs = t(s, d, "documents")
+      // docs materialized once (r7, same rationale as q_tf_cosine): the
+      // tokenize+hash+sort projection fed three consumers (both self-join
+      // sides and the CC node list) and was re-computed per consumer.
+      val docs = graft.plans.Lineage.cut(t(s, d, "documents")
         .select($"doc_id".cast("string").as("id"), $"source",
           sort_array(transform(array_distinct(split($"text", " ")),
-            t => xxhash64(t))).as("toks"))
+            t => xxhash64(t))).as("toks")))
       val l = docs.select($"source", $"id".as("src"), $"toks".as("l_toks"))
       val r = docs.select($"source", $"id".as("dst"), $"toks".as("r_toks"))
       val inter = sorted_long_intersect_count($"l_toks", $"r_toks")

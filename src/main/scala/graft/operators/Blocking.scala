@@ -65,12 +65,47 @@ object Blocking {
     */
   def candidatePairs(blocks: DataFrame, conf: GraftConf = GraftConf()): DataFrame = {
     import blocks.sparkSession.implicits._
-    val sized =
-      if (blocks.columns.contains("blockSize")) blocks
-      else {
-        val sizes = blocks.groupBy($"key").agg(count(lit(1)).as("blockSize"))
-        blocks.join(sizes, "key")
-      }
+    // DUPLICATE-BLOCK COLLAPSE (r7, guide §2.3 — shuffle fewer bytes): two
+    // blocking keys with the IDENTICAL member set generate the identical
+    // pair set, so only one of them needs to reach pair generation. This is
+    // the dominant redundancy of LSH banding on near/exact duplicates: an
+    // exact-copy group collides in ALL `bands` bands (16 here), so every
+    // pair was generated 16× and merged by the final dedup aggregation —
+    // 16× the join fan-out and 16× the rows into the pair-dedup exchange
+    // for zero extra pairs (q_skew_dedup measured exactly this shape).
+    //
+    // One aggregation computes, per key, the block size plus an
+    // order-insensitive member-set signature: count, min id, and bit_xor of
+    // TWO independently-seeded xxhash64 streams over the member ids (long
+    // arithmetic only — a decimal-sum variant measured ~0.4 s slower on the
+    // simhash path from the wide aggregation buffer alone). Two distinct
+    // member sets collide only if both 64-bit xors agree along with count
+    // and min — ~2⁻¹²⁸ per key pair: rejected as negligible, same
+    // convention as the band-key hash itself. Per signature group the MIN
+    // key survives, so `min(key)` over a pair's representative keys equals
+    // the min over ALL its keys — the emitted blockKey is unchanged (the
+    // global min key is always its own group's representative).
+    //
+    // A caller-provided blockSize column is superseded: every caller passes
+    // complete blocks for the keys it keeps, so the recomputed count equals
+    // the provided value and one aggregation yields size + signature
+    // together (no second pass, no trust in the column).
+    // Singleton blocks are dropped before the pair join (blockSize >= 2):
+    // they generate zero pairs, yet the previous shape carried every one of
+    // them through the self-join — on LSH-banded dedup corpora singletons
+    // are the overwhelming majority of keys. This also keeps the signature
+    // grouping tiny (multi-member keys only).
+    val base = blocks.select($"key", $"id")
+    val stats = base.groupBy($"key").agg(
+      count(lit(1)).as("blockSize"),
+      min($"id").as("_mn"),
+      bit_xor(xxhash64($"id")).as("_hx"),
+      bit_xor(xxhash64(lit(0x9E3779B9L), $"id")).as("_hs"))
+    val reps = stats.where($"blockSize" >= 2)
+      .groupBy($"blockSize", $"_mn", $"_hx", $"_hs")
+      .agg(min($"key").as("key"))
+      .select($"key", $"blockSize")
+    val sized = base.join(reps, "key")
 
     val cold = sized.where($"blockSize" <= conf.saltThreshold)
     val l = cold.select($"key", $"id".as("leftId"))

@@ -88,10 +88,18 @@ object ConnectedComponents {
     // Iterate over REAL edges only — isolated nodes (the vast majority in
     // dedup workloads) never enter the loop; they default to themselves in
     // the final left join. Iteration cost scales with |E|, not |V|.
+    //
+    // NO distinct() here (r7, guide §2.4 — remove shuffles outright): the
+    // per-partition union-find contraction below is idempotent under
+    // duplicate edges (union of an already-joined pair is a no-op), so the
+    // full-edge-set shuffle the dedup paid bought nothing — the contraction
+    // output is bounded by distinct nodes per partition either way, and the
+    // star iteration's own per-round distinct()s handle the rest. Removing
+    // it makes the canonicalize→contract prefix fully narrow (zero
+    // exchanges before the driver endgame / first star round).
     val canonical = edges.select($"src", $"dst")
       .select(greatest($"src", $"dst").as("src"), least($"src", $"dst").as("dst"))
       .where($"src" =!= $"dst")
-      .distinct()
     val cuts = new Lineage.Rotating(nodes)
     var cur = cuts.cut(localContract(canonical))
 
