@@ -76,8 +76,16 @@ object Pipeline {
       }
     val anchors = kbAnchors.orElse(ownAnchors)
 
-    val blocked = Blocking(mentions, conf)
-    val rawPairs = Blocking.candidatePairs(blocked.blocks, conf)
+    // ONE per-key stats aggregation feeds the size cap, the overflow frame
+    // AND candidatePairs' duplicate-block collapse (r7, guide §2.4:
+    // candidatePairs previously re-grouped the exploded frame its caller
+    // had just aggregated, and the blocks pre-filter join ran a second
+    // exchange of it; the cap now applies inside the tiny reps frame)
+    val exploded = Blocking.explodeKeys(mentions)
+    val stats = Blocking.blockStats(exploded)
+    val blocked = Blocking.fromSizes(exploded, stats, conf)
+    val rawPairs = Blocking.candidatePairsFromStats(exploded, stats, conf,
+      Some(conf.maxBlockSize))
     // P4 precision guard (opt-in): context vocabulary must contain the
     // other side's name
     val pairs =
@@ -155,10 +163,13 @@ object Pipeline {
     // block sizes checkpoint ONCE in their own stage (review r5: the blocks
     // and overflow stages each re-ran the explode+count aggregation over
     // the mention table on cold runs); both frames then derive from the
-    // tiny sizes table — the explode itself is narrow and cheap per reuse
+    // tiny sizes table — the explode itself is narrow and cheap per reuse.
+    // The stage carries the full blockStats columns (r7) so the scored
+    // stage's candidatePairs reuses the aggregation instead of re-grouping
+    // the exploded frame (guide §2.4).
     val exploded = Blocking.explodeKeys(mentions)
     val sizes = cp.getOrCompute("block_sizes", h, Seq("mentions")) {
-      Blocking.blockSizes(exploded)
+      Blocking.blockStats(exploded)
     }
     val blocked = Blocking.fromSizes(exploded, sizes, conf)
     val blocks = cp.getOrCompute("blocks", h, Seq("block_sizes")) {
@@ -168,7 +179,8 @@ object Pipeline {
       blocked.overflow
     }
     val scored = cp.getOrCompute("scored_pairs", h, Seq("blocks")) {
-      val rawPairs = Blocking.candidatePairs(blocks, conf)
+      val rawPairs = Blocking.candidatePairsFromStats(exploded, sizes, conf,
+        Some(conf.maxBlockSize))
       // same P4 guard as run(): the two entry points must score the same pairs
       val filtered =
         if (conf.contextFilter) Blocking.contextContainmentFilter(rawPairs, mentions)

@@ -107,6 +107,57 @@ object ArrayContainsOverlap {
     GraftExpr.column(ArrayContainsOverlap(GraftExpr.expression(l), GraftExpr.expression(r)))
 }
 
+/** True iff any a ∈ left CONTAINS some b ∈ right as a substring (equality
+  * included, one direction only) — the P4 context-containment predicate
+  * (`vocab token contains surface name`, MentionPairTrainingData
+  * .scala:57-70). Replaces the nested `exists(vocab, t -> exists(names,
+  * n -> t.contains(n)))` lambda chain, which is CodegenFallback: the P4
+  * filter evaluates it once per candidate pair over the full context
+  * vocabulary, so interpreted lambda dispatch per (token, name) pair was
+  * the stage's hot loop (r7, guide §1.2 per-task work — measured on
+  * q_pair_filter). Null elements are skipped; in a WHERE clause that is
+  * equivalent to exists()'s three-valued logic (its NULL result filters
+  * exactly like false).
+  */
+case class ArrayAnyContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "array_any_contains"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ArrayAnyContains.anyContains(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.ArrayAnyContains.anyContains($l, $r);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayAnyContains {
+  def anyContains(l: ArrayData, r: ArrayData): Boolean = {
+    val nl = l.numElements(); val nr = r.numElements()
+    var i = 0
+    while (i < nl) {
+      if (!l.isNullAt(i)) {
+        val a = l.getUTF8String(i)
+        var j = 0
+        while (j < nr) {
+          if (!r.isNullAt(j) && a.contains(r.getUTF8String(j))) return true
+          j += 1
+        }
+      }
+      i += 1
+    }
+    false
+  }
+
+  def array_any_contains(l: Column, r: Column): Column =
+    GraftExpr.column(ArrayAnyContains(GraftExpr.expression(l), GraftExpr.expression(r)))
+}
+
 /** |A ∩ B| of two SORTED distinct array<long> via one linear merge — the
   * Jaccard verification kernel for the dedup joins (J6). `array_intersect`
   * builds a hash set and allocates the result array per pair; on sorted

@@ -156,6 +156,222 @@ object MinHashBands {
   }
 }
 
+/** argmin over squared-L2 distances from `child` (array<double>) to a fixed
+  * centroid table — the IVF assignment kernel (r7, guide §1.2 per-task
+  * work): the former `array_position(d, array_min(d)) - 1` over
+  * `transform(typedlit(centroids), ct -> aggregate(zip_with(...)))` ran the
+  * whole nlist×dim distance computation through interpreted higher-order
+  * functions, allocating a lambda frame per element and an array per
+  * centroid, once per row per Lloyd iteration. This expression is one
+  * codegen'd primitive loop with ZERO allocation per row.
+  *
+  * Semantics are IDENTICAL to the replaced expression tree:
+  *  - distances accumulate left-to-right (same IEEE sum order as
+  *    `aggregate`), so every distance is bit-equal;
+  *  - ties keep the FIRST (lowest) centroid index — `array_position` finds
+  *    the first element equal to the min, and this loop only replaces the
+  *    best on a strictly-smaller compare;
+  *  - comparisons use `java.lang.Double.compare`, matching Spark's
+  *    NaN-greatest ordering in `array_min` (all-NaN input degenerates to
+  *    centroid 0 on both paths, mixed NaN/real picks the real min);
+  *  - a centroid whose dimension differs from the row's would have produced
+  *    a NULL distance via zip_with's null-padding and been IGNORED by
+  *    array_min — the loop skips it the same way; a row with a NULL element
+  *    nulled every distance and the final cid — the loop returns null;
+  *  - null row → null (UnaryExpression null propagation).
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else NearestCentroid.argmin(v.asInstanceOf[ArrayData], centroids)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val c = child.genCode(ctx)
+    val tmp = ctx.freshName("cid")
+    val code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+      new StringContext(
+        s"""
+           |${c.code.toString}
+           |boolean ${ev.isNull} = ${c.isNull};
+           |int ${ev.value} = -1;
+           |if (!${ev.isNull}) {
+           |  java.lang.Integer $tmp =
+           |    graft.functions.NearestCentroid.argmin(${c.value}, $cRef);
+           |  if ($tmp == null) { ${ev.isNull} = true; }
+           |  else { ${ev.value} = $tmp.intValue(); }
+           |}
+         """.stripMargin)).code()
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  def argmin(v: ArrayData, cts: Array[Array[Double]]): java.lang.Integer = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null // a null component nulls every distance
+      i += 1
+    }
+    var best = -1
+    var bestD = 0.0
+    var c = 0
+    while (c < cts.length) {
+      val ct = cts(c)
+      if (ct.length == n) { // dim mismatch ≡ zip_with null-padding: skipped
+        var d = 0.0
+        var k = 0
+        while (k < n) {
+          val diff = v.getDouble(k) - ct(k)
+          d += diff * diff
+          k += 1
+        }
+        if (best < 0 || java.lang.Double.compare(d, bestD) < 0) {
+          best = c; bestD = d
+        }
+      }
+      c += 1
+    }
+    if (best < 0) null else java.lang.Integer.valueOf(best)
+  }
+}
+
+/** k-shingle xxhash64 hashes over a token array — the fused codegen form of
+  * Mentions.shingleHashes' former expression tree (r7, guide §1.2 per-task
+  * work):
+  *
+  *   when(size(t) < k, array(xxhash64(array_join(t, " "))))
+  *     .otherwise(transform(sequence(0, size(t) - k),
+  *       i => xxhash64(array_join(slice(t, i + 1, k), " "))))
+  *
+  * which per ROW allocated a sequence array, and per WINDOW a slice
+  * ArrayData, a joined UTF8String and a lambda evaluation frame — the
+  * dominant cost of minhash block-key construction (every token is copied
+  * k times through slices). This kernel exploits that for null-free tokens,
+  * `array_join(slice(t, i+1, k), " ")` is a CONTIGUOUS BYTE RANGE of
+  * `array_join(t, " ")` (single-space separator, empties included
+  * verbatim): it builds the full joined buffer once per row and hashes each
+  * window as an offset/length slice of it — zero per-window allocation,
+  * identical bytes, identical xxhash64 (seed 42, same as the xxhash64 SQL
+  * function). Rows containing a null token fall back to a per-window join
+  * that skips nulls exactly like array_join. Null array → null; n < k
+  * (including n = 0) → one hash of the full join, as before.
+  */
+case class ShingleHashes(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1, "shingle width k must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else ShingleHashes.hashes(v.asInstanceOf[ArrayData], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+      new StringContext(
+        s"""
+           |${c.code.toString}
+           |boolean ${ev.isNull} = ${c.isNull};
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+           |if (!${ev.isNull}) {
+           |  ${ev.value} = graft.functions.ShingleHashes.hashes(${c.value}, $k);
+           |}
+         """.stripMargin)).code()
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private final val Seed = 42L // xxhash64's fixed SQL-function seed
+  private final val ByteOffset = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def hashes(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) return hashesWithNulls(tokens, k)
+      i += 1
+    }
+    // single joined buffer; starts(i) = byte offset of token i, ends(i) =
+    // end of token i, window [i, i+k) = bytes [starts(i), ends(i+k-1))
+    val strs = new Array[UTF8String](n)
+    var total = 0
+    i = 0
+    while (i < n) {
+      strs(i) = tokens.getUTF8String(i)
+      total += strs(i).numBytes
+      i += 1
+    }
+    if (n > 0) total += n - 1 // single-space separators
+    val buf = new Array[Byte](total)
+    val starts = new Array[Int](n)
+    var off = 0
+    i = 0
+    while (i < n) {
+      if (i > 0) { buf(off) = ' '; off += 1 }
+      starts(i) = off
+      org.apache.spark.unsafe.Platform.copyMemory(
+        strs(i).getBaseObject, strs(i).getBaseOffset,
+        buf, ByteOffset + off, strs(i).numBytes)
+      off += strs(i).numBytes
+      i += 1
+    }
+    if (n < k) {
+      new GenericArrayData(Array(XXH64.hashUnsafeBytes(buf, ByteOffset, total, Seed)))
+    } else {
+      val out = new Array[Long](n - k + 1)
+      i = 0
+      while (i <= n - k) {
+        val s = starts(i)
+        val e = starts(i + k - 1) + strs(i + k - 1).numBytes
+        out(i) = XXH64.hashUnsafeBytes(buf, ByteOffset + s, e - s, Seed)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Null-token fallback: per-window array_join semantics (nulls skipped,
+    * no separator for them) — correctness parity for inputs the engine's
+    * own tokenizers never produce.
+    */
+  private def hashesWithNulls(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val sep = UTF8String.fromString(" ")
+    def joinHash(from: Int, until: Int): Long = {
+      val parts = (from until until).collect {
+        case j if !tokens.isNullAt(j) => tokens.getUTF8String(j)
+      }
+      val s = UTF8String.concatWs(sep, parts: _*)
+      XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+    }
+    if (n < k) new GenericArrayData(Array(joinHash(0, n)))
+    else new GenericArrayData(
+      Array.tabulate(n - k + 1)(i => joinHash(i, i + k)))
+  }
+}
+
 object VecFunctions {
   def sorted_vec_dot(h1: Column, w1: Column, h2: Column, w2: Column): Column =
     GraftExpr.column(SortedVecDot(
@@ -165,4 +381,7 @@ object VecFunctions {
   def minhash_bands(shingleHashes: Column, numHashes: Int, bands: Int, seed: Long): Column =
     GraftExpr.column(MinHashBands(
       GraftExpr.expression(shingleHashes), numHashes, bands, seed))
+
+  def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    GraftExpr.column(NearestCentroid(GraftExpr.expression(vec), centroids))
 }

@@ -35,17 +35,35 @@ object Blocking {
   def blockSizes(exploded: DataFrame): DataFrame =
     exploded.groupBy(col("key")).agg(count(lit(1)).as("blockSize"))
 
+  /** Per-key block size PLUS the order-insensitive member-set signature
+    * candidatePairs' duplicate-block collapse needs (count, min id, two
+    * independently-seeded xxhash64 xors) — ONE aggregation serving both the
+    * size cap and pair generation (r7, guide §1.2/§2.4: `candidatePairs`
+    * previously re-grouped the very rows its caller's `blockSizes` pass had
+    * just aggregated, paying a second full exchange of the exploded frame).
+    * Callers that compute this can hand it to `fromSizes` (the signature
+    * columns ride along harmlessly) and `candidatePairsFromStats`.
+    */
+  def blockStats(exploded: DataFrame): DataFrame =
+    exploded.groupBy(col("key")).agg(
+      count(lit(1)).as("blockSize"),
+      min(col("id")).as("_mn"),
+      bit_xor(xxhash64(col("id"))).as("_hx"),
+      bit_xor(xxhash64(lit(0x9E3779B9L), col("id"))).as("_hs"))
+
   /** Result from precomputed exploded keys + sizes — lets runCheckpointed
     * checkpoint the sizes aggregation ONCE and derive both the blocks and
     * overflow frames from the tiny table, instead of re-running the
-    * explode+count per stage (review r5).
+    * explode+count per stage (review r5). `sizes` may be a `blockSizes` or
+    * `blockStats` frame; the output schemas are identical either way.
     */
   def fromSizes(exploded: DataFrame, sizes: DataFrame, conf: GraftConf): Result =
     Result(
-      blocks = exploded.join(sizes, "key")
+      blocks = exploded.join(sizes.select(col("key"), col("blockSize")), "key")
         .where(col("blockSize") <= conf.maxBlockSize)
         .select(col("key"), col("id"), col("blockSize")),
-      overflow = sizes.where(col("blockSize") > conf.maxBlockSize))
+      overflow = sizes.where(col("blockSize") > conf.maxBlockSize)
+        .select(col("key"), col("blockSize")))
 
   /** Candidate pairs: sort-merge self-join on blocking key with l.id < r.id
     * (north_rule "sort-merge join for pair generation"; reference all-pairs
@@ -96,12 +114,32 @@ object Blocking {
     // are the overwhelming majority of keys. This also keeps the signature
     // grouping tiny (multi-member keys only).
     val base = blocks.select($"key", $"id")
-    val stats = base.groupBy($"key").agg(
-      count(lit(1)).as("blockSize"),
-      min($"id").as("_mn"),
-      bit_xor(xxhash64($"id")).as("_hx"),
-      bit_xor(xxhash64(lit(0x9E3779B9L), $"id")).as("_hs"))
-    val reps = stats.where($"blockSize" >= 2)
+    pairsWithStats(base, blockStats(base), conf, maxBlockSize = None)
+  }
+
+  /** Pair generation over a PRECOMPUTED `blockStats` frame (r7, guide §2.4 —
+    * two operations keyed the same way share one aggregation): callers that
+    * already aggregated per-key stats for the size cap (Pipeline, ngram
+    * dedup) hand them in here instead of letting `candidatePairs` re-group
+    * the exploded frame. `maxBlockSize` applies the caller's cap INSIDE the
+    * tiny reps frame — the capped keys then never reach the pair join at
+    * all, replacing the former exploded⋈sizes pre-filter join (per-key
+    * stats are independent of other keys, and a signature group shares one
+    * blockSize, so filtering before or after the collapse is equivalent).
+    */
+  def candidatePairsFromStats(exploded: DataFrame, stats: DataFrame,
+                              conf: GraftConf,
+                              maxBlockSize: Option[Int]): DataFrame = {
+    val base = exploded.select(col("key"), col("id"))
+    pairsWithStats(base, stats, conf, maxBlockSize)
+  }
+
+  private def pairsWithStats(base: DataFrame, stats: DataFrame,
+                             conf: GraftConf,
+                             maxBlockSize: Option[Int]): DataFrame = {
+    import base.sparkSession.implicits._
+    val kept = maxBlockSize.fold(stats)(m => stats.where($"blockSize" <= m))
+    val reps = kept.where($"blockSize" >= 2)
       .groupBy($"blockSize", $"_mn", $"_hx", $"_hs")
       .agg(min($"key").as("key"))
       .select($"key", $"blockSize")
@@ -138,9 +176,13 @@ object Blocking {
     * names as a substring. `mentions` must carry (id, names:array<string>,
     * vocab:array<string>, vocab lowercased). Two narrow equi-joins bring
     * the vocab arrays onto the pairs; the predicate is per-row, no extra
-    * shuffle. The nested `exists` is CodegenFallback — acceptable in a
-    * filter stage that FOLLOWS blocking (bounded rows), unlike the scoring
-    * projection which stays codegen-clean.
+    * shuffle. The containment test is the codegen kernel
+    * [[graft.functions.ArrayAnyContains]] (r7, guide §1.2): the previous
+    * nested `exists(exists(contains))` lambda chain was CodegenFallback and
+    * interpreted per (token, name) pair over the full context vocabulary —
+    * the filter stage's hot loop; the kernel keeps the whole post-join
+    * filter inside whole-stage codegen with identical WHERE semantics
+    * (skipped nulls ≡ exists's NULL, which filters like false).
     */
   def contextContainmentFilter(pairs: DataFrame, mentions: DataFrame): DataFrame = {
     import pairs.sparkSession.implicits._
@@ -149,7 +191,7 @@ object Blocking {
       transform($"names", n => lower(n)).as(s"${p}Names"),
       $"vocab".as(s"${p}Vocab"))
     val contained = (vocab: Column, names: Column) =>
-      exists(vocab, t => exists(names, n => t.contains(n)))
+      graft.functions.ArrayAnyContains.array_any_contains(vocab, names)
     pairs
       .join(side("leftId", "l"), "leftId")
       .join(side("rightId", "r"), "rightId")

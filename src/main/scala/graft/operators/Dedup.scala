@@ -225,11 +225,15 @@ object Dedup {
       gramsCol.map(g => sort_array(array_distinct(col(g))))
         .getOrElse(ngramGrams(col(textCol), n)).as("grams"))
 
+    // ONE stats aggregation for cap + overflow + pair generation (r7, guide
+    // §2.4): the former shape aggregated sizes, equi-joined them back onto
+    // the blocks just to pre-filter, and then candidatePairs re-grouped the
+    // filtered rows; the cap now applies inside candidatePairs' tiny reps
+    // frame and the exploded rows cross exactly one aggregation + one join
     val blocks = toks.select($"key", $"id")
-    val sizes = Blocking.blockSizes(blocks)
-    val keyed = blocks.join(sizes, "key")
-    val cand = Blocking.candidatePairs(
-      keyed.where($"blockSize" <= conf.maxBlockSize), conf)
+    val sizes = Blocking.blockStats(blocks)
+    val cand = Blocking.candidatePairsFromStats(blocks, sizes, conf,
+      Some(conf.maxBlockSize))
 
     val sides = toks.select($"id", $"grams")
     val pairs = cand
@@ -245,7 +249,8 @@ object Dedup {
       // a near-duplicate of another empty document
       .where(size($"lg") > 0 && size($"rg") > 0 && $"jaccard" >= threshold)
       .select($"leftId", $"rightId", $"jaccard")
-    PairsResult(pairs, sizes.where($"blockSize" > conf.maxBlockSize))
+    PairsResult(pairs, sizes.where($"blockSize" > conf.maxBlockSize)
+      .select($"key", $"blockSize")) // keep the pre-r7 overflow schema
   }
 
   /** The exact gram column `ngramJaccard` computes per verification side:

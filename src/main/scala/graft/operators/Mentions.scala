@@ -157,10 +157,11 @@ object Mentions {
     import spark.implicits._
 
     // hash terms to 64-bit keys BEFORE any shuffle: every downstream
-    // exchange (tf agg, df agg, idf join) then moves fixed-width longs
-    // instead of strings — smaller shuffle bytes, cheaper comparisons.
-    // Collisions only perturb idf weights (cosine stays a similarity), and
-    // at 64 bits they are ~n²/2⁶⁵ — irrelevant below trillions of terms.
+    // exchange (tf agg, the df window, vector assembly) then moves
+    // fixed-width longs instead of strings — smaller shuffle bytes, cheaper
+    // comparisons. Collisions only perturb idf weights (cosine stays a
+    // similarity), and at 64 bits they are ~n²/2⁶⁵ — irrelevant below
+    // trillions of terms.
     //
     // MEASURED AND REJECTED (r5; r4 had deferred it "until a profile says
     // otherwise"): an in-row run-length tf over the row's sorted hashed
@@ -175,19 +176,26 @@ object Mentions {
       .select($"id", explode($"tokens").as("term"))
       .select($"id", xxhash64($"term").as("h"))
       .groupBy($"id", $"h").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val df = tf.groupBy($"h").agg(count(lit(1)).as("df"))
     val n = docCount.toDouble
 
-    // shuffle join on the long key; AQE upgrades it to broadcast-hash at
-    // runtime when the vocabulary side turns out small (it cannot be
-    // broadcast unconditionally — a web-scale corpus vocabulary is not
-    // driver-sized)
-    val weighted = tf.join(df, "h")
+    // df as a WHOLE-PARTITION window count over h (r7, guide §2.4 — two
+    // operations keyed the same way share one exchange): the previous shape
+    // aggregated df in its own pass and equi-joined it back, which cost a
+    // persist of tf (two consumers), the df aggregation, AND an exchange of
+    // tf by h for the join (tf leaves its aggregation partitioned by
+    // (id, h), not h). The window computes the identical per-h row count
+    // (tf rows are distinct (id, h) pairs, so rows-per-h = docs-per-term)
+    // in the single exchange-by-h it needs anyway; tf becomes
+    // single-consumer straight-line lineage — no persist, one pass.
+    // Hot-term skew exposure is unchanged: the join shape moved every row
+    // of a hot h to one join partition too.
+    val weighted = tf
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"h")))
       .select($"id", $"h",
         ($"tf" * (log((lit(n) + 1.0) / ($"df" + 1.0)) + 1.0)).as("w"))
-    val vecs = Lineage.cut(weighted
+    Lineage.cut(weighted
       .groupBy($"id")
       .agg(sort_array(collect_list(struct($"h", $"w"))).as("hw"))
       .withColumn("norm", sqrt(aggregate($"hw", lit(0.0), (a, x) => a + x("w") * x("w"))))
@@ -195,16 +203,18 @@ object Mentions {
         $"id".as("vid"),
         transform($"hw", x => x("h")).as("vecH"),
         transform($"hw", x => x("w") / $"norm").as("vecW")))
-    tf.unpersist()
-    vecs
   }
 
-  /** Content k-shingle hashes (array<long>) for MinHash blocking. */
+  /** Content k-shingle hashes (array<long>) for MinHash blocking — the
+    * codegen [[graft.functions.ShingleHashes]] kernel (r7, guide §1.2):
+    * bit-identical to the former when/transform/slice/array_join/xxhash64
+    * expression tree (equality fuzz-pinned in FunctionsSpec), with one
+    * joined buffer per row instead of a slice + string + lambda frame
+    * allocation per window.
+    */
   def shingleHashes(tokens: Column, k: Int): Column =
-    when(size(tokens) < k, array(xxhash64(array_join(tokens, " "))))
-      .otherwise(transform(
-        sequence(lit(0), size(tokens) - k),
-        i => xxhash64(array_join(slice(tokens, i + lit(1), lit(k)), " "))))
+    org.apache.spark.sql.GraftExpr.column(graft.functions.ShingleHashes(
+      org.apache.spark.sql.GraftExpr.expression(tokens), k))
 
   /** Blocking keys per mention: normalized-name prefix + MinHash band keys
     * (SURVEY.md §7 M2; north_star "salted name/alias blocking keys:

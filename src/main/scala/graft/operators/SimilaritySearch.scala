@@ -155,12 +155,16 @@ object SimilaritySearch {
           lit(0.0), (acc, x) => acc + x))
     }
 
-    // argmin over the broadcast centroid literals: 1-based position of the
-    // min distance (first occurrence = deterministic low-cid tie-break)
-    def nearestCid(v: Column): Column = {
-      val d = centroidDists(v)
-      (array_position(d, array_min(d)) - 1).cast("int")
-    }
+    // argmin over the centroid table: the codegen NearestCentroid kernel
+    // (r7, guide §1.2) — bit-identical to the former
+    // `array_position(d, array_min(d)) - 1` over the interpreted
+    // higher-order distance chain (tie-breaks, NaN and dim-mismatch
+    // semantics pinned in the expression's scaladoc + FunctionsSpec), with
+    // zero per-row allocation instead of a lambda frame per element. Runs
+    // once per row per Lloyd iteration plus once for the final assignment —
+    // the query's hot loop.
+    def nearestCid(v: Column): Column =
+      graft.functions.VecFunctions.nearest_centroid(v, centroids.map(_.clone()))
 
     var it = 0
     while (it < iters) {

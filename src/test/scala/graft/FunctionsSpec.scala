@@ -115,4 +115,83 @@ class FunctionsSpec extends SparkSpec {
       .head.getLong(0)
     assert(sh == -9205289395534126912L, s"simhash64 drifted: $sh")
   }
+
+  test("nearest_centroid matches the interpreted argmin tree (r7 IVF kernel)") {
+    // the codegen kernel replaced array_position(d, array_min(d)) - 1 over
+    // transform(typedlit(cts), ct -> aggregate(zip_with(...))); this pins
+    // the equivalence on every edge the scaladoc claims: plain argmin,
+    // first-wins ties, NaN-greatest ordering, dim-mismatch skip, null
+    // component, and the all-skipped degenerate
+    import graft.functions.VecFunctions.nearest_centroid
+    val cts = Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(5.0, 5.0))
+    def interp(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val ctLit = typedlit(cts.map(_.toSeq).toSeq)
+      val d = transform(ctLit, ct =>
+        aggregate(zip_with(v, ct, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+    val vecs = Seq(
+      Seq(0.9, 1.1),          // plain: centroid 1
+      Seq(0.5, 0.5),          // exact tie between 0 and 1 -> FIRST (0)
+      Seq(Double.NaN, 0.0),   // NaN component -> all dists NaN -> cid 0 both ways
+      Seq(7.0, 7.0),          // plain: centroid 2
+      Seq(1.0, 2.0, 3.0))     // dim mismatch vs every centroid -> null both ways
+    val df = vecs.toDF("v")
+    val got = df.select(nearest_centroid($"v", cts).as("k"),
+      interp($"v").as("e")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getInt(0) == r.getInt(1)),
+        s"kernel ${if (r.isNullAt(0)) "null" else r.getInt(0)} != interpreted " +
+          s"${if (r.isNullAt(1)) "null" else r.getInt(1)}")
+    }
+    assert(got(1).getInt(0) == 0, "tie must keep the first centroid")
+    assert(got(4).isNullAt(0), "all-dims-mismatched must be null")
+  }
+
+  test("shingle_hashes kernel is bit-identical to the expression tree it replaced (r7)") {
+    // the old form, verbatim (Mentions.shingleHashes pre-r7): every value
+    // the kernel emits must match it exactly — the minhash band keys (and
+    // therefore every LSH block) derive from these hashes
+    def old(tokens: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+      when(size(tokens) < k, array(xxhash64(array_join(tokens, " "))))
+        .otherwise(transform(
+          sequence(lit(0), size(tokens) - k),
+          i => xxhash64(array_join(slice(tokens, i + lit(1), lit(k)), " "))))
+    val rng = new scala.util.Random(7)
+    val rows: Seq[Seq[String]] = Seq(
+      Seq.empty[String],              // n = 0 -> hash of ""
+      Seq("solo"),                    // n < k
+      Seq("a", "b", "c"),             // n < k boundary (k = 4)
+      Seq("a", "", "b", "", "c"),     // empty tokens preserved verbatim
+      Seq("exact", "four", "token", "row")) ++ // n = k
+      (0 until 40).map(_ => Seq.fill(rng.nextInt(30))(
+        rng.alphanumeric.take(rng.nextInt(12)).mkString))
+    val df = rows.toDF("tokens")
+    val got = df.select(
+      graft.operators.Mentions.shingleHashes($"tokens", 4).as("kernel"),
+      old($"tokens", 4).as("tree")).collect()
+    got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+      s"shingle drift on ${r}"))
+    // null array -> null, as before
+    val nullRow = Seq(Tuple1[Option[Seq[String]]](None)).toDF("tokens")
+      .select(graft.operators.Mentions.shingleHashes($"tokens", 4)).head
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("array_any_contains matches exists(exists(contains)) in WHERE semantics (r7 P4 kernel)") {
+    import graft.functions.ArrayAnyContains.array_any_contains
+    val rows = Seq(
+      (Seq("foobar", "baz"), Seq("oba")),   // substring hit
+      (Seq("foo"), Seq("foo")),             // equality counts (unlike F8)
+      (Seq("foo"), Seq("foobar")),          // one-directional: no
+      (Seq.empty[String], Seq("x")),        // empty vocab: no
+      (Seq("abc"), Seq.empty[String]))      // empty names: no
+    val df = rows.toDF("vocab", "names")
+    val kernel = df.where(array_any_contains($"vocab", $"names")).count()
+    val lambda = df.where(exists($"vocab",
+      t => exists($"names", n => t.contains(n)))).count()
+    assert(kernel == lambda && kernel == 2L)
+  }
 }

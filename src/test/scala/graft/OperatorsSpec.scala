@@ -280,6 +280,35 @@ class OperatorsSpec extends SparkSpec {
     assert(both.nonEmpty && both.forall(_._3 == "kcold"))
   }
 
+  test("candidatePairsFromStats equals candidatePairs with a caller-side cap (r7)") {
+    import graft.operators.{Blocking, GraftConf}
+    val conf = GraftConf(saltThreshold = 10, saltBuckets = 4, maxBlockSize = 30)
+    // four regimes: a capped block (40 > 30, must vanish), a hot-but-kept
+    // block (20 ids, > saltThreshold -> salted path), duplicate-member-set
+    // keys (kdup1/kdup2 collapse to one representative), and a singleton
+    val over = (0 until 40).map(i => ("kover", f"id$i%03d"))
+    val hot = (0 until 20).map(i => ("khot", f"id$i%03d"))
+    val dup1 = (0 until 5).map(i => ("kdup1", f"dd$i%03d"))
+    val dup2 = (0 until 5).map(i => ("kdup2", f"dd$i%03d"))
+    val single = Seq(("ksingle", "zz"))
+    val blocks = (over ++ hot ++ dup1 ++ dup2 ++ single).toDF("key", "id")
+    // old path: the caller pre-filters with a separately aggregated sizes
+    // join, then candidatePairs re-aggregates internally
+    val sizes = Blocking.blockSizes(blocks)
+    val oldWay = Blocking.candidatePairs(
+      blocks.join(sizes, "key").where($"blockSize" <= conf.maxBlockSize)
+        .select($"key", $"id"), conf)
+      .as[(String, String, String)].collect().toSet
+    // new path: one shared stats aggregation, cap applied inside
+    val newWay = Blocking.candidatePairsFromStats(
+      blocks, Blocking.blockStats(blocks), conf, Some(conf.maxBlockSize))
+      .as[(String, String, String)].collect().toSet
+    assert(newWay == oldWay)
+    assert(newWay.nonEmpty && newWay.forall(_._3 != "kover"))
+    assert(newWay.exists(_._3 == "kdup1") && !newWay.exists(_._3 == "kdup2"),
+      "duplicate member-set keys must collapse to the min representative")
+  }
+
   test("deterministic sample is stable across partitionings") {
     val df = (0 until 500).map(i => (s"id$i", i)).toDF("k", "v")
     val a = Reports.deterministicSample(df, Seq("k"), 50).as[(String, Int)].collect().toSeq
