@@ -61,7 +61,10 @@ object Scaling {
     // the failure mode the Bench rule already closes.
     val runs = scala.collection.mutable.ArrayBuffer.empty[(Bench.Rep, Bench.Rep)]
     var another = true
-    while (runs.size < 6 && (runs.size < reps || another)) {
+    // cap at max(6, reps) (ADVICE r6 #3): the unconditional 6 silently
+    // reduced SPARK_GRAFT_REPS > 6 below the documented "minimum reps
+    // interleaved pairs" contract
+    while (runs.size < math.max(6, reps) && (runs.size < reps || another)) {
       def bestOf(side: ((Bench.Rep, Bench.Rep)) => Bench.Rep) =
         if (runs.isEmpty) Double.MaxValue else runs.map(r => side(r).sec).min
       val (pb8, pb32) = (bestOf(_._1), bestOf(_._2))

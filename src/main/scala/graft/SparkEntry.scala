@@ -114,18 +114,25 @@ object SparkEntry {
     dTmp.toString
   }
 
-  /** One memoized scratch dir for q_submission_sink's write→read-back round
-    * trip (review r6: a fresh dir + shutdown hook PER INVOCATION accumulated
-    * both for the JVM's life under repeated evaluation — e.g. a
-    * SPARK_GRAFT_ONLY timing loop). The sink writes mode("overwrite"), so
-    * re-invocations are safe against the same dir; one hook cleans up.
+  /** Memoized scratch dirs for q_submission_sink's write→read-back round
+    * trip, KEYED BY sfDir (ADVICE r6 #4: one JVM-wide dir was shared by
+    * every invocation across sessions AND sfDirs — the eager overwrite at
+    * plan construction under another invocation's un-materialized lazy
+    * read-back could swap the directory contents mid-scan). Within one
+    * sfDir the overwrite is idempotent (same rows), so repeated
+    * invocations — e.g. a SPARK_GRAFT_ONLY timing loop — stay safe; one
+    * hook per dir cleans up. (review r6: a fresh dir per INVOCATION leaked
+    * dirs+hooks for the JVM's life.)
     */
-  private lazy val sinkQueryDir: String = {
-    val dTmp = java.nio.file.Files.createTempDirectory("graft-sink-q")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      Bench.deleteRecursivelyNoFollow(dTmp.toFile)))
-    dTmp.toString
-  }
+  private val sinkQueryDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def sinkQueryDir(sfDir: String): String =
+    sinkQueryDirs.getOrElseUpdate(sfDir, {
+      val dTmp = java.nio.file.Files.createTempDirectory("graft-sink-q")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        Bench.deleteRecursivelyNoFollow(dTmp.toFile)))
+      dTmp.toString
+    })
 
   /** The shared pipeline invocation behind both pipeline queries — KB stage
     * plus both F10 extraction side tables on, exactly the former per-query
@@ -761,6 +768,15 @@ object SparkEntry {
     "q_submission_sink" -> ((s, d) => {
       import s.implicits._
       val p = t(s, d, "part").select($"p_partkey")
+      // lpad TRUNCATES beyond its width in both engines (ADVICE r6 #2): at
+      // p_partkey >= 1e6 (SF >= 5) mention ids would silently alias
+      // identically on both sides, weakening the round trip rather than
+      // failing it. The oracle SQL is frozen with lpad 6, so widening is
+      // not an option — guard loudly instead (same convention as
+      // q_pipeline_planted). One tiny single-column aggregate.
+      require(p.agg(max($"p_partkey")).head.getLong(0) < 1000000L,
+        "q_submission_sink: p_partkey >= 1e6 would overflow the lpad-6 " +
+          "mention-id layout shared with the frozen oracle SQL")
       val mid = concat(lit("m"), lpad($"p_partkey".cast("string"), 6, "0"))
       val decisions = p.select(
         mid.as("mentionId"),
@@ -769,8 +785,9 @@ object SparkEntry {
           .otherwise(concat(lit("NIL:"), mid)).as("clusterId"),
         when($"p_partkey" % 2 === 0, lit(0.55)).otherwise(lit(0.87))
           .as("confidence"))
-      Reports.writeSubmissionTsv(decisions, sinkQueryDir)
-      s.read.text(sinkQueryDir)
+      val sinkDir = sinkQueryDir(d)
+      Reports.writeSubmissionTsv(decisions, sinkDir)
+      s.read.text(sinkDir)
         .select(split($"value", "\t").as("f"))
         .select($"f".getItem(0).as("mention_id"),
           $"f".getItem(1).as("cluster_id"),
@@ -1369,7 +1386,17 @@ object SparkEntry {
     // 6-char unique name-prefix keys (no overflow, no salting path).
     "q_pipeline_planted" -> ((s, d) => {
       import s.implicits._
-      val fam = t(s, d, "part").select(
+      // lpad TRUNCATES beyond its width in both engines (ADVICE r6 #1): at
+      // p_partkey >= 1e5 (SF >= 0.5) ten distinct partkeys would collide
+      // into one 6-char family name, merging planted families and breaking
+      // the closed-form oracle confusingly. Widening to lpad 9 would
+      // instead collapse the prefix-6 blocking keys, so the guard is the
+      // safe fix. One tiny single-column aggregate.
+      val pGuard = t(s, d, "part").select($"p_partkey")
+      require(pGuard.agg(max($"p_partkey")).head.getLong(0) < 100000L,
+        "q_pipeline_planted: p_partkey >= 1e5 overflows the lpad-5 family " +
+          "name layout — the planted-family construction is only valid below it")
+      val fam = pGuard.select(
         $"p_partkey",
         concat(lit("q"), lpad($"p_partkey".cast("string"), 5, "0")).as("name"),
         ($"p_partkey" % 4).as("r"))

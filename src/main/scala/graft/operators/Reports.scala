@@ -55,11 +55,17 @@ object Reports {
     * Scale shape: a global `Window.orderBy` funnels the whole pair set
     * through ONE task (r1 VERDICT scale-killer #1). Instead: range-partition
     * on the sort key, run the running sums per partition, and stitch with
-    * per-partition prefix offsets (a #partitions-row driver exchange — the
-    * classic distributed prefix-sum). The suffix-max stitches the same way
-    * in reverse. Output is bit-identical to the single-window form (the
-    * sort key (score, leftId, rightId) is unique per row, so range
-    * boundaries never split ties).
+    * per-partition prefix offsets (the classic distributed prefix-sum). The
+    * suffix-max stitches the same way in reverse. Output is bit-identical
+    * to the single-window form (the sort key (score, leftId, rightId) is
+    * unique per row, so range boundaries never split ties).
+    *
+    * The stitch frames are #partitions rows; their prefix/suffix
+    * accumulation runs as SINGLE-PARTITION windows over those tiny frames
+    * (r7, guide §5 — no collect()/driver loops in query paths: the former
+    * collect+loop+re-parallelize per stitch cost two extra driver sync
+    * points per call; a no-partition window over O(#partitions) rows is
+    * scale-independent, the data itself never funnels through it).
     */
   def prCurve(scored: DataFrame): DataFrame = {
     import scored.sparkSession.implicits._
@@ -78,23 +84,21 @@ object Reports {
       .orderBy($"score".desc, $"leftId", $"rightId")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    // per-partition totals -> prefix offsets (rank, tp) for each pid;
-    // #partitions rows through the driver, never the data. The global
-    // positive count (recall denominator) is the sum of the same totals —
-    // no separate full-scan aggregation job for it
-    val totals = parts.groupBy($"pid")
+    // per-partition totals -> prefix offsets (rank, tp) per pid, plus the
+    // global positive count (recall denominator) — one tiny frame, windowed
+    // in place (pid is unique, so the ordering is deterministic)
+    val wPrefix = Window.orderBy($"pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val offsets = parts.groupBy($"pid")
       .agg(count(lit(1)).as("n"), sum(when($"label", 1L).otherwise(0L)).as("p"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val nPos = totals.map(_._3).sum
-    var rankOff = 0L
-    var tpOff = 0L
-    val offsets = totals.map { case (pid, n, p) =>
-      val row = (pid, rankOff, tpOff); rankOff += n; tpOff += p; row
-    }.toSeq.toDF("pid", "rankOff", "tpOff")
+      .withColumn("rankOff", coalesce(sum($"n").over(wPrefix), lit(0L)))
+      .withColumn("tpOff", coalesce(sum($"p").over(wPrefix), lit(0L)))
+      .withColumn("nPos", greatest(sum($"p").over(wAll), lit(1L)))
+      .select($"pid", $"rankOff", $"tpOff", $"nPos")
 
     // persisted: the per-partition window pass feeds BOTH the pid-max
-    // collect and the final output — without the persist it runs twice
+    // stitch and the final output — without the persist it runs twice
     // (and a third time inside the lineage cut's materialization)
     val local = parts
       .withColumn("rank", count(lit(1)).over(byScore))
@@ -103,18 +107,20 @@ object Reports {
       .withColumn("rank", $"rank" + $"rankOff")
       .withColumn("tp", $"tp" + $"tpOff")
       .withColumn("precision", $"tp".cast("double") / $"rank")
-      .withColumn("recall", $"tp".cast("double") / lit(math.max(nPos, 1L)))
+      .withColumn("recall", $"tp".cast("double") / $"nPos")
       .withColumn("pBestLocal", max($"precision").over(suffix))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // suffix-max across partitions: per-pid max precision -> reverse prefix
-    // max on the driver -> "best precision in any LATER partition"
-    val pidMax = local.groupBy($"pid").agg(max($"precision").as("m"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(-_._1)
-    var later = Double.NegativeInfinity
-    val laterMax = pidMax.map { case (pid, m) =>
-      val row = (pid, later); later = math.max(later, m); row
-    }.toSeq.toDF("pid", "pBestLater")
+    // max (strictly-later pids only) -> "best precision in any LATER
+    // partition"; −∞ for the last pid, exactly as the old driver loop's
+    // initial accumulator
+    val wSuffix = Window.orderBy($"pid".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val laterMax = local.groupBy($"pid").agg(max($"precision").as("m"))
+      .withColumn("pBestLater",
+        coalesce(max($"m").over(wSuffix), lit(Double.NegativeInfinity)))
+      .select($"pid", $"pBestLater")
 
     val out = Lineage.cut(local.join(broadcast(laterMax), "pid")
       .withColumn("precisionAtBest", greatest($"pBestLocal", $"pBestLater"))
