@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.functions.VecFunctions.minhash_bands
-import graft.plans.Lineage
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -103,10 +102,16 @@ object Mentions {
     * worth more than any operator tweak at 100 TB.
     *
     * Pass economics: the vectors are computed from a LEAN (id, tokens)
-    * projection, N comes from `files.count()` (metadata-only on parquet),
-    * and `tfidfVectors` materializes its output — so the expensive tokenize
-    * pass runs exactly once and the minhash blocking keys exactly once (in
-    * the main frame), instead of once per downstream consumer.
+    * projection and N comes from `files.count()` (metadata-only on
+    * parquet). Both callers BOUND the evaluation of this plan to one pass
+    * (Pipeline.run persists the mention frame; runCheckpointed writes it as
+    * a stage table), so the join's two sides — block keys and vectors —
+    * each tokenize once within that single materialization. The eager
+    * lineage cut that used to sit inside `tfidfVectors` bought nothing on
+    * top of that and cost a write+read of the vector frame per run
+    * (measured r7: mentions stage 9.3 → 6.6 s without it); callers that
+    * ever consume `prepare` unbounded would pay a re-evaluation, which is
+    * why the persist/stage-write contract is stated here.
     */
   def prepare(spark: SparkSession, files: DataFrame,
               aliasDict: Map[String, String], conf: GraftConf): DataFrame = {
@@ -147,10 +152,11 @@ object Mentions {
     * in-row variant shuffled) while the compute is a single linear pass.
     * The previous in-row `size(filter(tokens, x === t))` per distinct term
     * was O(distinct × length) per document — quadratic on real long files
-    * (r1 VERDICT scale-killer #2). The df aggregation and the idf join both
-    * reuse the persisted tf frame, and the result is materialized (lineage
-    * cut) — one tokenize pass total; on a cluster the checkpointed-stage
-    * variant gives the same single-pass property via the stage table.
+    * (r1 VERDICT scale-killer #2). Document frequency rides the same
+    * exchange as the tf frame (window over h, r7 — see inline comment), so
+    * the whole computation is straight-line: explode → tf agg → df window
+    * → per-doc assembly, no persist, no cut; single-pass guarantees come
+    * from the CALLER's bounding (Mentions.prepare's contract).
     */
   def tfidfVectors(docs: DataFrame, conf: GraftConf, docCount: Long): DataFrame = {
     val spark = docs.sparkSession
@@ -195,14 +201,14 @@ object Mentions {
         org.apache.spark.sql.expressions.Window.partitionBy($"h")))
       .select($"id", $"h",
         ($"tf" * (log((lit(n) + 1.0) / ($"df" + 1.0)) + 1.0)).as("w"))
-    Lineage.cut(weighted
+    weighted
       .groupBy($"id")
       .agg(sort_array(collect_list(struct($"h", $"w"))).as("hw"))
       .withColumn("norm", sqrt(aggregate($"hw", lit(0.0), (a, x) => a + x("w") * x("w"))))
       .select(
         $"id".as("vid"),
         transform($"hw", x => x("h")).as("vecH"),
-        transform($"hw", x => x("w") / $"norm").as("vecW")))
+        transform($"hw", x => x("w") / $"norm").as("vecW"))
   }
 
   /** Content k-shingle hashes (array<long>) for MinHash blocking — the

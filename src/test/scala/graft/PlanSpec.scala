@@ -161,14 +161,19 @@ class PlanSpec extends SparkSpec {
     // mention-derived rows is the narrow per-mention window exchange
     val files = SynthCorpus.corpus(spark, 6, 4)
     val conf = GraftConf()
-    // persist + materialize the mention frame first, exactly as Pipeline.run
-    // does — the assertion is about KbLink.link's OWN plan on top of it
-    val mentions = Mentions.prepare(spark, files, SynthCorpus.aliasDict, conf).persist()
-    mentions.count()
+    // materialize the mention frame behind a HARD plan boundary first —
+    // the assertion is about KbLink.link's OWN plan on top of it.
+    // localCheckpoint, not persist (r7): a persist's printed plan includes
+    // the InMemoryRelation's INTERNAL stages, so after the tfidf lineage
+    // cut was removed from Mentions.prepare the upstream aggregation
+    // exchanges leaked into this count; the checkpoint boundary prints as
+    // one scan, which is exactly the "link's own plan" the test pins
+    // (Pipeline.run bounds evaluation the same way, via its persist)
+    val mentions = Mentions.prepare(spark, files, SynthCorpus.aliasDict, conf)
+      .localCheckpoint()
     val kb = KbLink.introVectors(SynthCorpus.kb(spark, 6), "intro")
     val linked = KbLink.link(mentions, kb, KbWeights.default, conf)
     val plan = executed(linked)
-    mentions.unpersist()
     val shuffles = plan.linesIterator
       .count(l => l.contains("Exchange hashpartitioning"))
     assert(shuffles == 1,
@@ -183,11 +188,11 @@ class PlanSpec extends SparkSpec {
     // never a sort-merge join (the preset's scale story depends on it)
     val files = SynthCorpus.corpus(spark, 6, 4)
     val conf = GraftConf()
-    val mentions = Mentions.prepare(spark, files, SynthCorpus.aliasDict, conf).persist()
-    mentions.count()
+    // localCheckpoint boundary, same rationale as the test above (r7)
+    val mentions = Mentions.prepare(spark, files, SynthCorpus.aliasDict, conf)
+      .localCheckpoint()
     val kb = KbLink.introVectors(SynthCorpus.kb(spark, 6), "intro")
     val plan = executed(KbLink.link(mentions, kb, KbWeights.calibrated, conf))
-    mentions.unpersist()
     // allowed exchanges: the per-mention window (partitioned on id) plus
     // the name-dimension aggregation INSIDE the broadcast build side of
     // the ambiguity join (partitioned on nameLower — tiny, never the
