@@ -34,6 +34,8 @@ object BenchExtra {
 
     mode match {
       case "queries" =>
+        require(args.length > 1,
+          "usage: BenchExtra queries <q_a,q_b,...> [reps] [count|noop]")
         val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
         val reps = if (args.length > 2) args(2).toInt else 3
         val action = if (args.length > 3) args(3) else "count"

@@ -128,7 +128,13 @@ object Pipeline {
     // schema hash it catches same-cardinality content edits; ADVICE r2), and
     // CONTENT fingerprints of the small/medium side frames (kb, directly-
     // passed anchors, extractions).
-    val h = Checkpoint.hash(conf, weights, kbWeights,
+    // "stage-layout-2": a LAYOUT VERSION inside the hash (review r7) — r7
+    // widened the block_sizes stage schema (blockStats signature columns),
+    // and a config hash that ignores code layout would let a PRE-r7
+    // committed root pass the resume check and then crash the scored stage
+    // on the missing columns; bumping this tag makes old roots recompute
+    // instead. Bump it whenever a stage table's schema or meaning changes.
+    val h = Checkpoint.hash("stage-layout-2", conf, weights, kbWeights,
       aliasDict.toSeq.sorted.mkString(","),
       Checkpoint.inputFingerprint(files),
       kb.map(Checkpoint.fingerprint).getOrElse("nokb"),
@@ -178,7 +184,9 @@ object Pipeline {
     val overflow = cp.getOrCompute("blocks_overflow", h, Seq("block_sizes")) {
       blocked.overflow
     }
-    val scored = cp.getOrCompute("scored_pairs", h, Seq("blocks")) {
+    // deps reflect what the stage actually reads since r7: the stats table
+    // and the re-exploded mentions (the former blocks-table read is gone)
+    val scored = cp.getOrCompute("scored_pairs", h, Seq("block_sizes", "mentions")) {
       val rawPairs = Blocking.candidatePairsFromStats(exploded, sizes, conf,
         Some(conf.maxBlockSize))
       // same P4 guard as run(): the two entry points must score the same pairs

@@ -61,10 +61,14 @@ object Scaling {
     // the failure mode the Bench rule already closes.
     val runs = scala.collection.mutable.ArrayBuffer.empty[(Bench.Rep, Bench.Rep)]
     var another = true
-    // cap at max(6, reps) (ADVICE r6 #3): the unconditional 6 silently
-    // reduced SPARK_GRAFT_REPS > 6 below the documented "minimum reps
-    // interleaved pairs" contract
-    while (runs.size < math.max(6, reps) && (runs.size < reps || another)) {
+    // cap at max(6, reps + 2) (ADVICE r6 #3 + review r7): the unconditional
+    // 6 silently reduced SPARK_GRAFT_REPS > 6 below the documented "minimum
+    // reps interleaved pairs" contract, and a cap EQUAL to the minimum
+    // would leave the adaptive continuation no headroom to fire for
+    // reps >= 6 — a run still descending at its last requested pair could
+    // not draw again. reps + 2 preserves at least two adaptive draws past
+    // any requested minimum (default reps=3 keeps the historical cap 6).
+    while (runs.size < math.max(6, reps + 2) && (runs.size < reps || another)) {
       def bestOf(side: ((Bench.Rep, Bench.Rep)) => Bench.Rep) =
         if (runs.isEmpty) Double.MaxValue else runs.map(r => side(r).sec).min
       val (pb8, pb32) = (bestOf(_._1), bestOf(_._2))

@@ -774,7 +774,8 @@ object SparkEntry {
       // failing it. The oracle SQL is frozen with lpad 6, so widening is
       // not an option — guard loudly instead (same convention as
       // q_pipeline_planted). One tiny single-column aggregate.
-      require(p.agg(max($"p_partkey")).head.getLong(0) < 1000000L,
+      val sinkMax = p.agg(max($"p_partkey")).head
+      require(sinkMax.isNullAt(0) || sinkMax.getLong(0) < 1000000L,
         "q_submission_sink: p_partkey >= 1e6 would overflow the lpad-6 " +
           "mention-id layout shared with the frozen oracle SQL")
       val mid = concat(lit("m"), lpad($"p_partkey".cast("string"), 6, "0"))
@@ -1393,7 +1394,8 @@ object SparkEntry {
       // instead collapse the prefix-6 blocking keys, so the guard is the
       // safe fix. One tiny single-column aggregate.
       val pGuard = t(s, d, "part").select($"p_partkey")
-      require(pGuard.agg(max($"p_partkey")).head.getLong(0) < 100000L,
+      val plantedMax = pGuard.agg(max($"p_partkey")).head
+      require(plantedMax.isNullAt(0) || plantedMax.getLong(0) < 100000L,
         "q_pipeline_planted: p_partkey >= 1e5 overflows the lpad-5 family " +
           "name layout — the planted-family construction is only valid below it")
       val fam = pGuard.select(

@@ -36,20 +36,32 @@ object Blocking {
     exploded.groupBy(col("key")).agg(count(lit(1)).as("blockSize"))
 
   /** Per-key block size PLUS the order-insensitive member-set signature
-    * candidatePairs' duplicate-block collapse needs (count, min id, two
-    * independently-seeded xxhash64 xors) — ONE aggregation serving both the
-    * size cap and pair generation (r7, guide §1.2/§2.4: `candidatePairs`
-    * previously re-grouped the very rows its caller's `blockSizes` pass had
-    * just aggregated, paying a second full exchange of the exploded frame).
-    * Callers that compute this can hand it to `fromSizes` (the signature
-    * columns ride along harmlessly) and `candidatePairsFromStats`.
+    * candidatePairs' duplicate-block collapse needs (count, min id, an
+    * xxhash64 xor and an independently-seeded xxhash64 decimal SUM) — ONE
+    * aggregation serving both the size cap and pair generation (r7, guide
+    * §1.2/§2.4: `candidatePairs` previously re-grouped the very rows its
+    * caller's `blockSizes` pass had just aggregated, paying a second full
+    * exchange of the exploded frame). Callers that compute this can hand it
+    * to `fromSizes` (the signature columns ride along harmlessly) and
+    * `candidatePairsFromStats`.
+    *
+    * Why one stream is a SUM (review r7): these are public APIs and a
+    * caller's frame may contain duplicate (key, id) rows — under xor a
+    * duplicated id cancels pairwise in EVERY xor stream at once, so blocks
+    * {a,b,b} and {a,c,c} would share (count, min, xors) with certainty and
+    * wrongly collapse. The sum stream is duplicate-sensitive (2·h(b) =
+    * 2·h(c) requires an xxhash64 collision), restoring a ~2⁻⁶⁴-per-pair
+    * bound for duplicate-bearing inputs and ~2⁻¹²⁸ for distinct-id inputs
+    * (both alongside the count+min conjuncts) — the band-key-hash
+    * convention. decimal(38,0), not long: ANSI mode errors on long-sum
+    * overflow, and the decimal cost applies to one stream only.
     */
   def blockStats(exploded: DataFrame): DataFrame =
     exploded.groupBy(col("key")).agg(
       count(lit(1)).as("blockSize"),
       min(col("id")).as("_mn"),
       bit_xor(xxhash64(col("id"))).as("_hx"),
-      bit_xor(xxhash64(lit(0x9E3779B9L), col("id"))).as("_hs"))
+      sum(xxhash64(lit(0x9E3779B9L), col("id")).cast("decimal(38,0)")).as("_hs"))
 
   /** Result from precomputed exploded keys + sizes — lets runCheckpointed
     * checkpoint the sizes aggregation ONCE and derive both the blocks and
@@ -93,16 +105,13 @@ object Blocking {
     // for zero extra pairs (q_skew_dedup measured exactly this shape).
     //
     // One aggregation computes, per key, the block size plus an
-    // order-insensitive member-set signature: count, min id, and bit_xor of
-    // TWO independently-seeded xxhash64 streams over the member ids (long
-    // arithmetic only — a decimal-sum variant measured ~0.4 s slower on the
-    // simhash path from the wide aggregation buffer alone). Two distinct
-    // member sets collide only if both 64-bit xors agree along with count
-    // and min — ~2⁻¹²⁸ per key pair: rejected as negligible, same
-    // convention as the band-key hash itself. Per signature group the MIN
-    // key survives, so `min(key)` over a pair's representative keys equals
-    // the min over ALL its keys — the emitted blockKey is unchanged (the
-    // global min key is always its own group's representative).
+    // order-insensitive member-set signature (see blockStats: count, min
+    // id, an xxhash64 xor and an independently-seeded duplicate-sensitive
+    // decimal sum; collision odds documented there). Per signature group
+    // the MIN key survives, so `min(key)` over a pair's representative
+    // keys equals the min over ALL its keys — the emitted blockKey is
+    // unchanged (the global min key is always its own group's
+    // representative).
     //
     // A caller-provided blockSize column is superseded: every caller passes
     // complete blocks for the keys it keeps, so the recomputed count equals

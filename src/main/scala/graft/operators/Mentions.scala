@@ -194,8 +194,16 @@ object Mentions {
     // (tf rows are distinct (id, h) pairs, so rows-per-h = docs-per-term)
     // in the single exchange-by-h it needs anyway; tf becomes
     // single-consumer straight-line lineage — no persist, one pass.
-    // Hot-term skew exposure is unchanged: the join shape moved every row
-    // of a hot h to one join partition too.
+    // Hot-term trade, stated honestly (review r7): the join shape ALSO
+    // moved every row of a hot h to one partition, but streamed them
+    // through the sort-merge after its sort, while the window BUFFERS one
+    // h-group at a time (ExternalAppendOnlyUnsafeRowArray — spillable, so
+    // a stop-word term degrades to disk-backed iteration in that task, not
+    // an OOM). Rows per group are bounded by the corpus DOCUMENT count
+    // (distinct (id, h) pairs), not token count; at a scale where one
+    // term's document list overwhelms a task's spill budget, df belongs in
+    // an offline vocabulary table joined in — the same escalation path the
+    // nameAmbiguity scaladoc sketches.
     val weighted = tf
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"h")))

@@ -309,6 +309,23 @@ class OperatorsSpec extends SparkSpec {
       "duplicate member-set keys must collapse to the min representative")
   }
 
+  test("duplicate (key, id) rows must not collapse distinct member sets (r7 review)") {
+    import graft.operators.Blocking
+    // under an all-xor signature a duplicated id cancels pairwise in every
+    // stream at once, so {a,b,b} and {a,c,c} shared (count, min, xors) and
+    // K2's pairs vanished; the duplicate-sensitive sum stream keeps them
+    // apart. Public candidatePairs callers may legally pass duplicates.
+    val blocks = Seq(
+      ("K1", "a"), ("K1", "b"), ("K1", "b"),
+      ("K2", "a"), ("K2", "c"), ("K2", "c")).toDF("key", "id")
+    val got = Blocking.candidatePairs(blocks)
+      .as[(String, String, String)].collect().toSet
+    // duplicates add no pairs (leftId < rightId is strict) — the two
+    // distinct unordered pairs must both survive, each under its own key
+    assert(got == Set(("a", "b", "K1"), ("a", "c", "K2")),
+      s"distinct member sets merged or pairs lost: $got")
+  }
+
   test("deterministic sample is stable across partitionings") {
     val df = (0 until 500).map(i => (s"id$i", i)).toDF("k", "v")
     val a = Reports.deterministicSample(df, Seq("k"), 50).as[(String, Int)].collect().toSeq
